@@ -1,0 +1,151 @@
+"""Problem protocols: the TPU-native counterpart of the reference's callback seams.
+
+The reference threads user callbacks (objective, gradient, Hessian operator,
+residual map, Jacobian pair, prox ops, ...) plus a variadic ``Args&...`` pack
+through every solver (``Base/Concepts.h:26-38``, ``Riemannian/Concepts.h``).
+Here a *problem* is a frozen bundle of pure functions with the uniform
+signature ``fn(x, ..., data)`` where ``data`` is a runtime PyTree of problem
+data (the ``Args...`` analog: it is a traced argument, so it can be vmapped
+over instance batches and sharded over device meshes without recompilation).
+
+Derivatives never need to be hand-written: gradients default to ``jax.grad``
+pushed through the manifold's ``egrad_to_rgrad``, Hessian-vector products to
+``jax.jvp`` of the Riemannian gradient field followed by tangent projection
+(exact for Riemannian submanifolds; cf. the QuadraticModel seam at reference
+``TNT.h:209-222``), and Jacobian/adjoint pairs to ``jax.jvp``/``jax.vjp``
+(reference ``TNLS.h:246-248``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+
+from ..manifolds.base import Manifold
+from ..manifolds.euclidean import EUCLIDEAN
+from .tree import tree_dot
+
+__all__ = ["RiemannianProblem", "LeastSquaresProblem", "CompositeProblem"]
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class RiemannianProblem:
+    """min_x f(x) over a Riemannian manifold.
+
+    - ``f(x, data) -> scalar``: objective.
+    - ``manifold``: geometry bundle (defaults to Euclidean space).
+    - ``grad(x, data) -> tangent``: optional Riemannian gradient override.
+    - ``hess_vec(x, v, data) -> tangent``: optional Riemannian Hessian-vector
+      product override (the STPCG hot operator, reference
+      ``IterativeSolvers.h:294``).
+    - ``precon(x, v, data) -> tangent``: optional positive-definite
+      preconditioner (reference ``TNT.h:234-237``).
+    """
+
+    f: Callable[..., Any]
+    manifold: Manifold = EUCLIDEAN
+    grad: Optional[Callable[..., Any]] = None
+    hess_vec: Optional[Callable[..., Any]] = None
+    precon: Optional[Callable[..., Any]] = None
+
+    def value(self, x, data=None):
+        return self.f(x, data)
+
+    def rgrad(self, x, data=None):
+        if self.grad is not None:
+            return self.grad(x, data)
+        eg = jax.grad(lambda y: self.f(y, data))(x)
+        return self.manifold.egrad_to_rgrad(x, eg)
+
+    def hvp(self, x, v, data=None):
+        """Riemannian Hessian-vector product Hess f(x)[v]."""
+        if self.hess_vec is not None:
+            return self.hess_vec(x, v, data)
+        grad_field = lambda y: self.rgrad(y, data)
+        _, dv = jax.jvp(grad_field, (x,), (v,))
+        return self.manifold.proj(x, dv)
+
+    def apply_precon(self, x, v, data=None):
+        if self.precon is None:
+            return v
+        return self.precon(x, v, data)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class LeastSquaresProblem:
+    """min_x |F(x)| with F: M -> R^m (for TNLS, reference ``TNLS.h:226-264``).
+
+    - ``residual(x, data) -> y``: the residual map F.
+    - ``manifold``: domain geometry.
+    - ``jvp(x, v, data)`` / ``vjp(x, w, data)``: optional Jacobian and adjoint
+      overrides; default to ``jax.jvp`` / ``jax.vjp`` (+ tangent projection).
+    - ``inner_y(u, v, data) -> scalar``: inner product on the codomain
+      (defaults to the Euclidean PyTree dot).
+    - ``precon``: optional *right*-preconditioner pair ``(M, Mt)`` with
+      ``M(x, v, data)`` and ``Mt(x, v, data)`` (reference ``TNLS.h:60-63``).
+    """
+
+    residual: Callable[..., Any]
+    manifold: Manifold = EUCLIDEAN
+    jvp: Optional[Callable[..., Any]] = None
+    vjp: Optional[Callable[..., Any]] = None
+    inner_y: Optional[Callable[..., Any]] = None
+    precon: Optional[tuple] = None
+
+    def F(self, x, data=None):
+        return self.residual(x, data)
+
+    def J(self, x, v, data=None):
+        """Jacobian-vector product gradF(x)[v]."""
+        if self.jvp is not None:
+            return self.jvp(x, v, data)
+        _, dv = jax.jvp(lambda y: self.residual(y, data), (x,), (v,))
+        return dv
+
+    def Jt(self, x, w, data=None):
+        """Jacobian-adjoint product gradF(x)^T w, projected into T_x(M)."""
+        if self.vjp is not None:
+            return self.vjp(x, w, data)
+        _, pullback = jax.vjp(lambda y: self.residual(y, data), x)
+        (g,) = pullback(w)
+        return self.manifold.proj(x, g)
+
+    def inner_Y(self, u, v, data=None):
+        if self.inner_y is not None:
+            return self.inner_y(u, v, data)
+        return tree_dot(u, v)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CompositeProblem:
+    """min_x f(x) + g(x), f smooth, g prox-friendly (for proximal gradient,
+    reference ``ProximalGradient.h:125-147``).
+
+    - ``f(x, data) -> scalar``; ``grad_f`` optional (defaults to ``jax.grad``).
+    - ``g(x, data) -> scalar``: the nonsmooth term.
+    - ``prox_g(x, lam, data) -> x'``: proximal operator of g.
+    """
+
+    f: Callable[..., Any]
+    g: Callable[..., Any]
+    prox_g: Callable[..., Any]
+    grad_f: Optional[Callable[..., Any]] = None
+
+    def value_f(self, x, data=None):
+        return self.f(x, data)
+
+    def value_g(self, x, data=None):
+        return self.g(x, data)
+
+    def value(self, x, data=None):
+        return self.f(x, data) + self.g(x, data)
+
+    def gradient_f(self, x, data=None):
+        if self.grad_f is not None:
+            return self.grad_f(x, data)
+        return jax.grad(lambda y: self.f(y, data))(x)
+
+    def prox(self, x, lam, data=None):
+        return self.prox_g(x, lam, data)

@@ -1,0 +1,220 @@
+"""Steihaug-Toint truncated preconditioned *projected* conjugate-gradient.
+
+Approximately solves the trust-region subproblem
+
+    min_s  <g, s> + (1/2) <s, H s>
+    s.t.   A s = 0            (optional, via a constraint preconditioner)
+           |s|_M <= Delta
+
+entirely inside one ``lax.while_loop`` so that the whole inner solve is a
+single fused XLA computation: the only per-iteration costs are one
+Hessian-vector product and a handful of inner-product reductions (which on a
+sharded tangent space become ``psum`` collectives — see
+``optimization_tpu.parallel``).
+
+Functional contract matches the reference ``STPCG``
+(``LinearAlgebra/IterativeSolvers.h:166-426``), including:
+
+- truncation test  |r_k|_P <= |r_0|_P * min(kappa_fgr, |r_0|_P^theta)
+  (``IterativeSolvers.h:275-291``);
+- the kernel-of-H escape:  |H p| / |p| < epsilon  ->  walk (a descent-aligned)
+  p to the trust-region boundary (``IterativeSolvers.h:300-338``);
+- negative-curvature / overlong-step boundary exit with
+  sigma = (-<s,Mp> + sqrt(<s,Mp>^2 + |p|_M^2 (Delta^2 - |s|_M^2))) / |p|_M^2
+  (``IterativeSolvers.h:347-362``);
+- the M-norm recurrences for <s,Mp>, |s|_M^2, |p|_M^2
+  (``IterativeSolvers.h:408-420``);
+- Lagrange-multiplier cleanup r <- r - A^T lambda after each application of a
+  constraint preconditioner (``IterativeSolvers.h:236-252,388-404``).
+
+Vectors are arbitrary PyTrees; the caller supplies ``inner`` (the M-metric
+seam that becomes a collective when sharded).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.tree import (tree_axpy, tree_neg, tree_scale, tree_where,
+                         tree_zeros_like)
+
+__all__ = ["STPCGResult", "stpcg"]
+
+
+class STPCGResult(NamedTuple):
+    s: Any
+    update_step_M_norm: jnp.ndarray
+    num_iterations: jnp.ndarray
+
+
+class _State(NamedTuple):
+    k: jnp.ndarray
+    s: Any
+    r: Any
+    v: Any
+    p: Any
+    sk_M_pk: jnp.ndarray
+    sk_M_2: jnp.ndarray
+    pk_M_2: jnp.ndarray
+    rv: jnp.ndarray
+    done: jnp.ndarray
+    boundary: jnp.ndarray
+
+
+def _validate(max_iterations, kappa_fgr, theta, epsilon) -> None:
+    if max_iterations < 0:
+        raise ValueError(
+            "Maximum number of iterations (max_iterations) must be a "
+            "nonnegative integer")
+    if not (0 <= kappa_fgr < 1):
+        raise ValueError(
+            "Target fractional reduction of the gradient norm (kappa_fgr) "
+            "must be a real value in the range [0,1)")
+    if not (0 <= theta <= 1):
+        raise ValueError(
+            "Target superlinear convergence rate (theta) must be a real "
+            "value in the range [0,1]")
+    if not (0 < epsilon < 1):
+        raise ValueError(
+            "Relative norm tolerance for declaring a vector to lie in the "
+            "kernel of H (epsilon) should be a small positive number in (0,1)")
+
+
+def stpcg(
+    g: Any,
+    Hv: Callable[[Any], Any],
+    inner: Callable[[Any, Any], jnp.ndarray],
+    Delta,
+    *,
+    max_iterations: int = 1000,
+    kappa_fgr: float = 0.1,
+    theta: float = 0.5,
+    precon: Optional[Callable[[Any], Tuple[Any, Any]]] = None,
+    At: Optional[Callable[[Any], Any]] = None,
+    user_function: Optional[Callable[..., jnp.ndarray]] = None,
+    epsilon: float = 1e-8,
+) -> STPCGResult:
+    """Run STPCG.  ``Delta`` may be a traced scalar (TNT passes its radius in).
+
+    - ``g``: model gradient (any PyTree).
+    - ``Hv(v)``: symmetric model-Hessian operator.
+    - ``inner(u, v)``: ambient inner product (becomes a ``psum`` when sharded).
+    - ``precon(r) -> (v, lambda)``: optional constraint preconditioner solving
+      ``[M A'; A 0] [v; lambda] = [r; 0]`` (plain SPD preconditioning is the
+      special case lambda = None with no ``At``).
+    - ``At(lambda)``: optional constraint-transpose operator.
+    - ``user_function(k, s, r, v, p, alpha) -> bool``: optional pure stopping
+      predicate evaluated each iteration before the update is applied (the
+      jittable analog of the reference's STPCGUserFunction,
+      ``IterativeSolvers.h:50-59,364-369``).
+    """
+    _validate(max_iterations, kappa_fgr, theta, epsilon)
+
+    def apply_P(r):
+        if precon is None:
+            return r, r
+        v, lam = precon(r)
+        if At is not None:
+            r = tree_axpy(-1.0, At(lam), r)
+        return v, r
+
+    # --- initialization (reference IterativeSolvers.h:207-283) ---
+    s0 = tree_zeros_like(g)
+    r0 = g
+    v0, r0 = apply_P(r0)
+    p0 = tree_neg(v0)
+    rv0 = inner(r0, v0)
+    dtype = jnp.asarray(rv0).dtype
+    Delta = jnp.asarray(Delta, dtype=dtype)
+    Delta2 = Delta * Delta
+    zero = jnp.zeros((), dtype)
+
+    r0_norm = jnp.sqrt(rv0)
+    target_rk_norm = r0_norm * jnp.minimum(
+        jnp.asarray(kappa_fgr, dtype), r0_norm**theta)
+
+    st0 = _State(
+        k=jnp.zeros((), jnp.int32),
+        s=s0, r=r0, v=v0, p=p0,
+        sk_M_pk=zero, sk_M_2=zero, pk_M_2=rv0, rv=rv0,
+        done=jnp.asarray(False),
+        boundary=jnp.asarray(False),
+    )
+
+    def cond(st: _State):
+        return ((st.k < max_iterations)
+                & ~st.done
+                & (jnp.sqrt(st.rv) > target_rk_norm))
+
+    def body(st: _State) -> _State:
+        Hp = Hv(st.p)
+        kappa = inner(st.p, Hp)
+        Hp_norm2 = inner(Hp, Hp)
+        p_norm2 = inner(st.p, st.p)
+        in_kernel = jnp.sqrt(Hp_norm2) < epsilon * jnp.sqrt(p_norm2)
+
+        # Descent alignment of the kernel direction (IterativeSolvers.h:320-326)
+        pr = inner(st.p, st.r)
+        sign = jnp.where(in_kernel & (pr < 0), -jnp.ones((), dtype),
+                         jnp.ones((), dtype))
+        sk_M_pk_eff = sign * st.sk_M_pk
+
+        # Boundary steplength (shared by kernel / negative-curvature exits)
+        disc = sk_M_pk_eff**2 + st.pk_M_2 * (Delta2 - st.sk_M_2)
+        sigma = (-sk_M_pk_eff + jnp.sqrt(jnp.maximum(disc, 0.0))) / st.pk_M_2
+
+        alpha = st.rv / kappa
+        skplus1_M_2 = (st.sk_M_2 + 2.0 * alpha * st.sk_M_pk
+                       + alpha * alpha * st.pk_M_2)
+        neg_or_exit = (kappa <= 0) | (skplus1_M_2 > Delta2)
+        boundary = in_kernel | neg_or_exit
+
+        # Boundary branch: s + sigma * (sign * p), M-norm = Delta
+        s_boundary = tree_axpy(sigma * sign, st.p, st.s)
+
+        # Interior branch: full CG update (IterativeSolvers.h:374-420)
+        s_int = tree_axpy(alpha, st.p, st.s)
+        r_int = tree_axpy(alpha, Hp, st.r)
+        v_int, r_int = apply_P(r_int)
+        rv_int = inner(r_int, v_int)
+        beta = rv_int / (alpha * kappa)
+        sk_M_pk_int = beta * (st.sk_M_pk + alpha * st.pk_M_2)
+        pk_M_2_int = rv_int + beta * beta * st.pk_M_2
+        p_int = tree_axpy(beta, st.p, tree_neg(v_int))
+
+        if user_function is not None:
+            user_stop = jnp.asarray(
+                user_function(st.k, st.s, st.r, st.v, st.p, alpha))
+        else:
+            user_stop = jnp.asarray(False)
+        # A user stop fires *before* the update is applied and only on interior
+        # steps (the reference checks it after the boundary exits).
+        user_stop = user_stop & ~boundary
+
+        exit_now = boundary | user_stop
+
+        s_new = tree_where(boundary, s_boundary,
+                           tree_where(user_stop, st.s, s_int))
+        r_new = tree_where(exit_now, st.r, r_int)
+        v_new = tree_where(exit_now, st.v, v_int)
+        p_new = tree_where(exit_now, st.p, p_int)
+
+        return _State(
+            k=jnp.where(exit_now, st.k, st.k + 1),
+            s=s_new, r=r_new, v=v_new, p=p_new,
+            sk_M_pk=jnp.where(exit_now, st.sk_M_pk, sk_M_pk_int),
+            sk_M_2=jnp.where(exit_now, st.sk_M_2, skplus1_M_2),
+            pk_M_2=jnp.where(exit_now, st.pk_M_2, pk_M_2_int),
+            rv=jnp.where(exit_now, st.rv, rv_int),
+            done=exit_now,
+            boundary=boundary,
+        )
+
+    st = jax.lax.while_loop(cond, body, st0)
+
+    update_step_M_norm = jnp.where(st.boundary, Delta, jnp.sqrt(st.sk_M_2))
+    return STPCGResult(s=st.s, update_step_M_norm=update_step_M_norm,
+                       num_iterations=st.k)

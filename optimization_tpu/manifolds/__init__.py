@@ -1,0 +1,5 @@
+from .base import Manifold
+from .euclidean import EUCLIDEAN, euclidean
+from .product import product
+from .sphere import SPHERE, sphere
+from .stiefel import ROTATIONS, STIEFEL, rotations, stiefel

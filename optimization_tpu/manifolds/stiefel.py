@@ -1,0 +1,106 @@
+"""Stiefel manifold St(n, p) = { X in R^{n x p} : X^T X = I_p } and SO(d).
+
+These are the manifolds of the SE-Sync-style rotation-synchronization
+problems that the reference's solver engine was built to serve (the reference
+itself is geometry-agnostic — geometry enters through the injected metric /
+retraction callbacks, ``Riemannian/Concepts.h:44-112``).
+
+Geometry (canonical embedded metric):
+
+- tangent projection:  P_X(V) = V - X sym(X^T V),  sym(A) = (A + A^T)/2
+- retraction:          polar retraction R_X(V) = uv(X + V), the projection
+  onto St(n, p) given by the orthogonal factor of the polar decomposition —
+  computed eigendecomposition-free via the Newton-Schulz-stabilized SVD-free
+  route ( (X+V) (I + V^T V)^{-1/2} ) using a symmetric eigendecomposition of
+  the small p x p Gram matrix.  This keeps all heavy math as (n x p) @ (p x p)
+  matmuls: MXU-friendly and exactly differentiable.
+- metric: Frobenius inner product.
+
+``so(d)`` is St(d, d) restricted to determinant +1; the polar retraction
+preserves the connected component, so the same ops apply.  Product manifolds
+of N rotations are represented as stacked arrays (N, d, d) with all ops
+broadcasting over leading axes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import Manifold
+
+
+def _sym(a):
+    return 0.5 * (a + jnp.swapaxes(a, -1, -2))
+
+
+def _proj(x, v):
+    xtv = jnp.swapaxes(x, -1, -2) @ v
+    return v - x @ _sym(xtv)
+
+
+def _inner(x, u, v):
+    return jnp.sum(u * v)
+
+
+def _polar_retract(x, v):
+    """R_X(V) = (X+V) (I + V^T V)^{-1/2}  (V tangent => (X+V)^T(X+V) = I + V^T V)."""
+    y = x + v
+    g = jnp.swapaxes(v, -1, -2) @ v
+    g = g + jnp.eye(g.shape[-1], dtype=g.dtype)
+    # inverse matrix square root of the small p x p SPD Gram via eigh
+    w, q = jnp.linalg.eigh(g)
+    inv_sqrt = (q * (1.0 / jnp.sqrt(w))[..., None, :]) @ jnp.swapaxes(q, -1, -2)
+    return y @ inv_sqrt
+
+
+def _egrad_to_rgrad(x, g):
+    return _proj(x, g)
+
+
+def _rand_stiefel(key, *shape):
+    """Random point via QR of a Gaussian; shape = (..., n, p)."""
+    a = jax.random.normal(key, shape)
+    q, r = jnp.linalg.qr(a)
+    # Sign-fix so the factorization (hence the sample) is unique
+    d = jnp.sign(jnp.diagonal(r, axis1=-2, axis2=-1))
+    d = jnp.where(d == 0, 1.0, d)
+    return q * d[..., None, :]
+
+
+STIEFEL = Manifold(
+    name="stiefel",
+    retract=_polar_retract,
+    inner=_inner,
+    proj=_proj,
+    egrad_to_rgrad=_egrad_to_rgrad,
+    rand=_rand_stiefel,
+)
+
+
+def stiefel() -> Manifold:
+    return STIEFEL
+
+
+def _rand_rotation(key, *shape):
+    """Random rotation(s) in SO(d); shape = (..., d, d)."""
+    q = _rand_stiefel(key, *shape)
+    # Flip one column where det = -1 to land in SO(d)
+    det = jnp.linalg.det(q)
+    flip = jnp.where(det < 0, -1.0, 1.0)
+    return q.at[..., :, 0].multiply(flip[..., None])
+
+
+ROTATIONS = Manifold(
+    name="so",
+    retract=_polar_retract,
+    inner=_inner,
+    proj=_proj,
+    egrad_to_rgrad=_egrad_to_rgrad,
+    rand=_rand_rotation,
+)
+
+
+def rotations() -> Manifold:
+    """SO(d) (or a product of rotations when arrays carry leading axes)."""
+    return ROTATIONS

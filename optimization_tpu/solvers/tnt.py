@@ -1,0 +1,325 @@
+"""Riemannian truncated-Newton trust-region (TNT) method.
+
+TPU-native re-design of the reference ``TNT`` (``Riemannian/TNT.h:242-689``,
+Algorithm 6.1.1 of Conn-Gould-Toint): the outer trust-region loop is a jitted
+``lax.while_loop`` whose inner subproblem solve is the ``stpcg`` while-loop
+engine, so a full solve — Hessian-vector products, CG recurrences, gain-ratio
+logic, radius adaptation, traces — compiles to one XLA program.  The
+Hessian-vector product defaults to ``jax.jvp`` of the Riemannian gradient
+field (users never write a Hessian), and every inner-product reduction flows
+through the manifold metric seam, which becomes a ``psum`` collective when the
+tangent space is sharded over a mesh.
+
+Functional contract (matching the reference exactly):
+
+- model decrease  dm = -<g,h> - 1/2 <h,Hh>, gain ratio rho = df/dm, accept
+  iff  !isnan(rho) && rho > eta1  (``TNT.h:511-532``);
+- radius update: very successful (rho >= eta2) -> Delta = max(alpha2*|h|_M,
+  Delta); unsuccessful -> Delta = alpha1*|h|_M with the TrustRegion stop when
+  Delta < Delta_tolerance (``TNT.h:590-603``).  NaN rho rejects and shrinks;
+- stopping: |g| < gradient_tolerance, |M^{-1}g| <
+  preconditioned_gradient_tolerance, relative decrease, stepsize, trust
+  region, iteration limit, user function (``TNT.h:134-164``);
+- identical parameter names/defaults (``TNT.h:76-130``).
+
+Deviation (documented): on an accepted step the reference defers the gradient
+re-evaluation until after its relative-decrease/stepsize checks, so a solve
+stopped by those criteria reports the *previous* iterate's gradient norm; we
+always report the gradient at the returned iterate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import RiemannianProblem
+from ..core.tree import tree_where
+from ..core.types import SmoothOptimizerParams, TNTStatus
+from ..linalg.stpcg import stpcg
+
+__all__ = ["TNTParams", "TNTResult", "solve"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TNTParams(SmoothOptimizerParams):
+    """Mirrors ``TNTParams`` (reference ``TNT.h:76-130``)."""
+
+    Delta0: float = 1.0
+    eta1: float = 0.05
+    eta2: float = 0.9
+    alpha1: float = 0.25
+    alpha2: float = 2.5
+    max_TPCG_iterations: int = 1000
+    kappa_fgr: float = 0.1
+    theta: float = 0.5
+    preconditioned_gradient_tolerance: float = 1e-6
+    Delta_tolerance: float = 1e-6
+
+    def validate(self) -> None:
+        super().validate()
+        if self.preconditioned_gradient_tolerance < 0:
+            raise ValueError(
+                "Preconditioned gradient tolerance must be a nonnegative real value")
+        if self.Delta_tolerance < 0:
+            raise ValueError(
+                "Trust-region radius tolerance must be a nonnegative real value")
+        if self.Delta0 <= 0:
+            raise ValueError(
+                "Initial trust-region radius must be a positive real value")
+        if not (0 < self.eta1 < 1):
+            raise ValueError("eta1 must satisfy 0 < eta1 < 1")
+        if self.eta1 > self.eta2 or self.eta2 >= 1:
+            raise ValueError("eta2 must satisfy eta1 <= eta2 < 1")
+        if not (0 < self.alpha1 < 1):
+            raise ValueError("alpha1 must satisfy 0 < alpha1 < 1")
+        if self.alpha2 <= 1:
+            raise ValueError("alpha2 must satisfy alpha2 > 1")
+        if not (0 < self.kappa_fgr < 1):
+            raise ValueError("kappa_fgr must satisfy 0 < kappa_fgr < 1")
+        if self.theta < 0:
+            raise ValueError("theta must be a nonnegative real number")
+
+
+class TNTResult(NamedTuple):
+    x: Any
+    f: jnp.ndarray
+    gradfx_norm: jnp.ndarray
+    preconditioned_grad_f_x_norm: jnp.ndarray
+    status: jnp.ndarray           # TNTStatus code
+    num_iterations: jnp.ndarray   # outer iterations entered
+    # Traces over outer iterations; entries [0, num_iterations] valid.
+    objective_values: jnp.ndarray
+    gradient_norms: jnp.ndarray
+    preconditioned_gradient_norms: jnp.ndarray
+    trust_region_radius: jnp.ndarray
+    # Per attempted step (entries [0, num_iterations) valid):
+    inner_iterations: jnp.ndarray
+    update_step_norms: jnp.ndarray
+    update_step_M_norms: jnp.ndarray
+    gain_ratios: jnp.ndarray
+    iterates: Optional[Any] = None
+
+
+class _State(NamedTuple):
+    k: jnp.ndarray
+    x: Any
+    f: jnp.ndarray
+    grad: Any
+    gradnorm: jnp.ndarray
+    pgradnorm: jnp.ndarray
+    Delta: jnp.ndarray
+    status: jnp.ndarray
+    objective_values: jnp.ndarray
+    gradient_norms: jnp.ndarray
+    preconditioned_gradient_norms: jnp.ndarray
+    trust_region_radius: jnp.ndarray
+    inner_iterations: jnp.ndarray
+    update_step_norms: jnp.ndarray
+    update_step_M_norms: jnp.ndarray
+    gain_ratios: jnp.ndarray
+    iterates: Optional[Any]
+
+
+def solve(
+    problem: RiemannianProblem,
+    x0: Any,
+    params: TNTParams = TNTParams(),
+    data: Any = None,
+    user_function: Optional[Callable[..., jnp.ndarray]] = None,
+) -> TNTResult:
+    """Minimize ``problem`` from ``x0`` by truncated-Newton trust region.
+
+    ``user_function(k, x, f, grad, Delta, inner_iters, h, df, rho, accepted)
+    -> bool`` is an optional pure stopping predicate called once per outer
+    iteration before the update is applied (jittable analog of
+    ``TNTUserFunction``, reference ``TNT.h:64-71,545-552``).
+    """
+    params.validate()
+    return _solve(problem, params, user_function, x0, data)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _solve(problem: RiemannianProblem, params: TNTParams,
+           user_function, x0: Any, data: Any) -> TNTResult:
+    M = problem.manifold
+    n_trace = params.max_iterations + 1
+    n_step = params.max_iterations
+
+    def grad_and_norms(x):
+        g = problem.rgrad(x, data)
+        gn = jnp.sqrt(M.inner(x, g, g))
+        if problem.precon is not None:
+            pg = problem.apply_precon(x, g, data)
+            pgn = jnp.sqrt(M.inner(x, pg, pg))
+        else:
+            pgn = gn
+        return g, gn, pgn
+
+    f0 = jnp.asarray(problem.value(x0, data))
+    dtype = f0.dtype
+    g0, gn0, pgn0 = grad_and_norms(x0)
+    sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
+
+    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    nan_step = jnp.full((n_step,), jnp.nan, dtype)
+    iterates0 = (jax.tree_util.tree_map(
+        lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
+        if params.log_iterates else None)
+
+    st0 = _State(
+        k=jnp.zeros((), jnp.int32),
+        x=x0, f=f0, grad=g0, gradnorm=gn0, pgradnorm=pgn0,
+        Delta=jnp.asarray(params.Delta0, dtype),
+        status=jnp.asarray(TNTStatus.RUNNING.value, jnp.int32),
+        objective_values=nan_trace,
+        gradient_norms=nan_trace,
+        preconditioned_gradient_norms=nan_trace,
+        trust_region_radius=nan_trace,
+        inner_iterations=jnp.zeros((n_step,), jnp.int32),
+        update_step_norms=nan_step,
+        update_step_M_norms=nan_step,
+        gain_ratios=nan_step,
+        iterates=iterates0,
+    )
+
+    def record(st: _State) -> _State:
+        it = st.iterates
+        if it is not None:
+            it = jax.tree_util.tree_map(
+                lambda tr, l: tr.at[st.k].set(l), it, st.x)
+        return st._replace(
+            objective_values=st.objective_values.at[st.k].set(st.f),
+            gradient_norms=st.gradient_norms.at[st.k].set(st.gradnorm),
+            preconditioned_gradient_norms=(
+                st.preconditioned_gradient_norms.at[st.k].set(st.pgradnorm)),
+            trust_region_radius=st.trust_region_radius.at[st.k].set(st.Delta),
+            iterates=it,
+        )
+
+    def do_iter(st: _State) -> _State:
+        ridx = st.k - 1  # per-step trace slot (k was already incremented)
+        x, fx, grad = st.x, st.f, st.grad
+
+        Hv = lambda v: problem.hvp(x, v, data)
+        inner = lambda u, v: M.inner(x, u, v)
+        precon_fn = None
+        if problem.precon is not None:
+            precon_fn = lambda r: (problem.apply_precon(x, r, data), None)
+
+        # STEP 2: trust-region subproblem via STPCG (reference TNT.h:489-492)
+        cg = stpcg(grad, Hv, inner, st.Delta,
+                   max_iterations=params.max_TPCG_iterations,
+                   kappa_fgr=params.kappa_fgr, theta=params.theta,
+                   precon=precon_fn)
+        h, h_M_norm = cg.s, cg.update_step_M_norm
+        h_norm = jnp.sqrt(inner(h, h))
+
+        # STEP 3: trial point and gain ratio (reference TNT.h:505-532)
+        x_prop = M.retract(x, h)
+        fx_prop = jnp.asarray(problem.value(x_prop, data))
+        dm = -inner(grad, h) - 0.5 * inner(h, Hv(h))
+        df = fx - fx_prop
+        relative_decrease = df / (sqrt_eps + jnp.abs(fx))
+        rho = df / dm
+        accepted = ~jnp.isnan(rho) & (rho > params.eta1)
+
+        if user_function is not None:
+            user_stop = jnp.asarray(user_function(
+                ridx, x, fx, grad, st.Delta, cg.num_iterations, h, df, rho,
+                accepted))
+        else:
+            user_stop = jnp.asarray(False)
+
+        # Accepted-step updates (reference TNT.h:555-585); a user stop fires
+        # *before* the update is applied.
+        apply = accepted & ~user_stop
+        x_new = tree_where(apply, x_prop, x)
+        f_new = jnp.where(apply, fx_prop, fx)
+        g_acc, gn_acc, pgn_acc = grad_and_norms(x_new)
+        g_new = tree_where(apply, g_acc, grad)
+        gn_new = jnp.where(apply, gn_acc, st.gradnorm)
+        pgn_new = jnp.where(apply, pgn_acc, st.pgradnorm)
+
+        status = jnp.where(
+            user_stop,
+            TNTStatus.USER_FUNCTION.value,
+            jnp.where(
+                apply & (relative_decrease < params.relative_decrease_tolerance),
+                TNTStatus.RELATIVE_DECREASE.value,
+                jnp.where(apply & (h_norm < params.stepsize_tolerance),
+                          TNTStatus.STEPSIZE.value,
+                          TNTStatus.RUNNING.value))).astype(jnp.int32)
+
+        # STEP 4: trust-region radius update (reference TNT.h:590-603);
+        # skipped when a stopping criterion already fired this iteration.
+        very_successful = ~jnp.isnan(rho) & (rho >= params.eta2)
+        unsuccessful = jnp.isnan(rho) | (rho < params.eta1)
+        Delta_new = jnp.where(
+            very_successful,
+            jnp.maximum(params.alpha2 * h_M_norm, st.Delta),
+            jnp.where(unsuccessful, params.alpha1 * h_M_norm, st.Delta))
+        tr_collapse = unsuccessful & (Delta_new < params.Delta_tolerance)
+        running = status == TNTStatus.RUNNING.value
+        Delta_new = jnp.where(running, Delta_new, st.Delta)
+        status = jnp.where(running & tr_collapse,
+                           TNTStatus.TRUST_REGION.value, status).astype(jnp.int32)
+
+        return st._replace(
+            x=x_new, f=f_new, grad=g_new, gradnorm=gn_new, pgradnorm=pgn_new,
+            Delta=Delta_new, status=status,
+            inner_iterations=st.inner_iterations.at[ridx].set(
+                cg.num_iterations.astype(jnp.int32)),
+            update_step_norms=st.update_step_norms.at[ridx].set(h_norm),
+            update_step_M_norms=st.update_step_M_norms.at[ridx].set(h_M_norm),
+            gain_ratios=st.gain_ratios.at[ridx].set(rho),
+        )
+
+    def body(st: _State) -> _State:
+        st = record(st)
+        st = st._replace(k=st.k + 1)
+        conv_status = jnp.where(
+            st.gradnorm < params.gradient_tolerance,
+            TNTStatus.GRADIENT.value,
+            jnp.where(
+                st.pgradnorm < params.preconditioned_gradient_tolerance,
+                TNTStatus.PRECONDITIONED_GRADIENT.value,
+                TNTStatus.RUNNING.value)).astype(jnp.int32)
+
+        return jax.lax.cond(
+            conv_status != TNTStatus.RUNNING.value,
+            lambda s: s._replace(status=conv_status),
+            do_iter,
+            st)
+
+    def cond(st: _State):
+        return ((st.k < params.max_iterations)
+                & (st.status == TNTStatus.RUNNING.value))
+
+    st = jax.lax.while_loop(cond, body, st0)
+
+    status = jnp.where(st.status == TNTStatus.RUNNING.value,
+                       TNTStatus.ITERATION_LIMIT.value,
+                       st.status).astype(jnp.int32)
+
+    # Final trace entry (reference TNT.h:616-624)
+    st = record(st)
+
+    return TNTResult(
+        x=st.x, f=st.f, gradfx_norm=st.gradnorm,
+        preconditioned_grad_f_x_norm=st.pgradnorm,
+        status=status, num_iterations=st.k,
+        objective_values=st.objective_values,
+        gradient_norms=st.gradient_norms,
+        preconditioned_gradient_norms=st.preconditioned_gradient_norms,
+        trust_region_radius=st.trust_region_radius,
+        inner_iterations=st.inner_iterations,
+        update_step_norms=st.update_step_norms,
+        update_step_M_norms=st.update_step_M_norms,
+        gain_ratios=st.gain_ratios,
+        iterates=st.iterates,
+    )
