@@ -1,0 +1,127 @@
+"""Headline benchmark: TNT Hessian-vector throughput + solver iteration rate.
+
+Runs on whatever backend is live (the real TPU chip under the driver).  The
+flagship configuration is BASELINE config 2 at scale: Riemannian TNT
+(Rayleigh-quotient minimization) on S^{n-1} with n = 2^20 and a structured
+SPD operator A = diag(d) + 3-point stencil — the Hv product is pure
+HBM-bandwidth work, so the headline number is the fraction of the chip's
+HBM roofline the hot kernel sustains (north-star target: >= 0.80).
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+where vs_baseline is measured_fraction / 0.80 (>= 1.0 beats the target).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+# Known HBM bandwidths (GB/s) per chip generation
+HBM_GBPS = {
+    "v5 lite": 819.0,   # TPU v5e
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,       # Trillium
+    "cpu": 50.0,        # nominal, so the script still runs off-TPU
+}
+
+
+def chip_bandwidth():
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", "cpu").lower()
+    for key, bw in HBM_GBPS.items():
+        if key in kind:
+            return bw, kind
+    return HBM_GBPS["cpu"], kind
+
+
+def main():
+    n = 1 << 20
+    dtype = jnp.float32
+    d = jnp.linspace(1.0, 1000.0, n, dtype=dtype)
+
+    def A_op(v):
+        up = jnp.concatenate([v[1:], jnp.zeros((1,), v.dtype)])
+        down = jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
+        return d * v + 2.0 * v - up - down
+
+    from optimization_tpu import RiemannianProblem
+    from optimization_tpu.manifolds import sphere
+    from optimization_tpu.solvers import tnt
+
+    def f(x, dd):
+        return jnp.dot(x, A_op(x))
+
+    def quadratic_model(x, dd):
+        # One A(x) evaluation per outer iterate, shared by every CG step:
+        # Hv = proj_x(2 A v) - <x, 2 A x> v   (sphere Riemannian Hessian)
+        Ax2 = 2.0 * A_op(x)
+        g = sphere().proj(x, Ax2)
+        rq = jnp.dot(x, Ax2)
+        return g, lambda v: sphere().proj(x, 2.0 * A_op(v)) - rq * v
+
+    problem = RiemannianProblem(
+        f=f, manifold=sphere(),
+        grad=lambda x, dd: sphere().proj(x, 2.0 * A_op(x)),
+        quadratic_model=quadratic_model)
+
+    # --- raw Hv matvec throughput (the STPCG hot operator A) ---
+    x = sphere().rand(jax.random.PRNGKey(0), n).astype(dtype)
+    v = sphere().proj(x, jax.random.normal(jax.random.PRNGKey(1), (n,), dtype))
+
+    @jax.jit
+    def matvec_chain(u, k):
+        # Chain A applications so dispatch overhead amortizes; the 1/1000
+        # rescale keeps magnitudes bounded and fuses into the stencil.
+        return jax.lax.fori_loop(0, k, lambda _, u: A_op(u) * 1e-3, u)
+
+    k = 400
+    matvec_chain(v, 2).block_until_ready()      # compile + warm
+    t0 = time.perf_counter()
+    matvec_chain(v, k).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    # Traffic per fused stencil matvec (f32): read u, read d, write out.
+    bytes_per_iter = 3 * 4 * n
+    gbps = bytes_per_iter * k / dt / 1e9
+    roofline, kind = chip_bandwidth()
+    frac = gbps / roofline
+
+    # --- full TNT solve iteration rate at scale ---
+    params = tnt.TNTParams(
+        max_iterations=30, max_TPCG_iterations=50,
+        gradient_tolerance=1e-5, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+    x0 = sphere().rand(jax.random.PRNGKey(2), n).astype(dtype)
+    res = tnt.solve(problem, x0, params, data=None)       # compile + run
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = tnt.solve(problem, x0, params, data=None)
+    jax.block_until_ready(res.x)
+    dt_solve = time.perf_counter() - t0
+    outer = int(res.num_iterations)
+    inner = int(jnp.nansum(jnp.where(jnp.arange(params.max_iterations) < outer,
+                                     res.inner_iterations, 0)))
+    iters_per_s = outer / dt_solve if dt_solve > 0 else 0.0
+
+    result = {
+        "metric": "tnt_hv_matvec_hbm_roofline_frac",
+        "value": round(frac, 4),
+        "unit": f"fraction of {roofline:.0f} GB/s HBM roofline ({kind}); "
+                f"hv={gbps:.1f} GB/s; tnt {outer} outer / {inner} cg iters "
+                f"in {dt_solve:.2f}s on n=2^20 ({iters_per_s:.2f} outer it/s); "
+                f"f*={float(res.f):.4f}",
+        "vs_baseline": round(frac / 0.80, 4),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Shared example harness: backend selection + result pretty-printing."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def setup(platform: str | None = None, n_cpu_devices: int | None = None,
+          x64: bool | None = None):
+    """Pin the backend.  NB: env vars are useless here (a sitecustomize
+    imports jax at interpreter start); only dynamic config works."""
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if n_cpu_devices:
+        jax.config.update("jax_num_cpu_devices", n_cpu_devices)
+    if x64 is None:
+        x64 = jax.default_backend() == "cpu"
+    if x64:
+        jax.config.update("jax_enable_x64", True)
+    # Trust-region gain ratios and backtracking line searches compare objective
+    # values to ~1e-7 relative precision; the TPU MXU's default bf16 matmul
+    # inputs are too coarse for that, so examples run matmuls at full f32.
+    jax.config.update("jax_default_matmul_precision", "highest")
+    print(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+
+def report(name, res, t0, extra=""):
+    print(f"[{name}] status={int(res.status)} iters={int(res.num_iterations)}"
+          f" f={float(res.f):.6e} wall={time.time() - t0:.2f}s {extra}")

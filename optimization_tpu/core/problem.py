@@ -49,6 +49,7 @@ class RiemannianProblem:
     grad: Optional[Callable[..., Any]] = None
     hess_vec: Optional[Callable[..., Any]] = None
     precon: Optional[Callable[..., Any]] = None
+    quadratic_model: Optional[Callable[..., Any]] = None
 
     def value(self, x, data=None):
         return self.f(x, data)
@@ -60,12 +61,32 @@ class RiemannianProblem:
         return self.manifold.egrad_to_rgrad(x, eg)
 
     def hvp(self, x, v, data=None):
-        """Riemannian Hessian-vector product Hess f(x)[v]."""
+        """Riemannian Hessian-vector product Hess f(x)[v] (one-shot)."""
         if self.hess_vec is not None:
             return self.hess_vec(x, v, data)
         grad_field = lambda y: self.rgrad(y, data)
         _, dv = jax.jvp(grad_field, (x,), (v,))
         return self.manifold.proj(x, dv)
+
+    def qm(self, x, data=None):
+        """Quadratic model at x: (gradient, Hessian-vector closure).
+
+        The analog of the reference's ``QuadraticModel`` seam
+        (``TNT.h:209-222``): built once per outer iterate, so anything that
+        depends only on x is computed once and reused across every inner CG
+        iteration.  Users can cache arbitrary state by supplying
+        ``quadratic_model(x, data) -> (grad, hvp_fn)``; the default partially
+        evaluates the gradient field with ``jax.linearize`` (which hoists the
+        x-dependent forward pass out of the per-CG-step tangent pushforward).
+        """
+        if self.quadratic_model is not None:
+            return self.quadratic_model(x, data)
+        if self.hess_vec is not None:
+            return (self.rgrad(x, data),
+                    lambda v: self.hess_vec(x, v, data))
+        grad_field = lambda y: self.rgrad(y, data)
+        g, lin = jax.linearize(grad_field, x)
+        return g, lambda v: self.manifold.proj(x, lin(v))
 
     def apply_precon(self, x, v, data=None):
         if self.precon is None:
@@ -98,7 +119,7 @@ class LeastSquaresProblem:
         return self.residual(x, data)
 
     def J(self, x, v, data=None):
-        """Jacobian-vector product gradF(x)[v]."""
+        """Jacobian-vector product gradF(x)[v] (one-shot)."""
         if self.jvp is not None:
             return self.jvp(x, v, data)
         _, dv = jax.jvp(lambda y: self.residual(y, data), (x,), (v,))
@@ -111,6 +132,23 @@ class LeastSquaresProblem:
         _, pullback = jax.vjp(lambda y: self.residual(y, data), x)
         (g,) = pullback(w)
         return self.manifold.proj(x, g)
+
+    def jacobian(self, x, data=None):
+        """(J, J^T) operator pair at x — the reference's JacobianPairFunction
+        seam (``TNLS.h:246-248``): the residual forward pass is evaluated once
+        per outer iterate and shared by every inner LSQR iteration."""
+        if self.jvp is not None or self.vjp is not None:
+            return (lambda v: self.J(x, v, data),
+                    lambda w: self.Jt(x, w, data))
+        F_at = lambda y: self.residual(y, data)
+        _, lin = jax.linearize(F_at, x)
+        _, pullback = jax.vjp(F_at, x)
+
+        def Jt_op(w):
+            (g,) = pullback(w)
+            return self.manifold.proj(x, g)
+
+        return lin, Jt_op
 
     def inner_Y(self, u, v, data=None):
         if self.inner_y is not None:

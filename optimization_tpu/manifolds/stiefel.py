@@ -34,9 +34,15 @@ def _sym(a):
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
 
 
+def _mm(a, b):
+    # p x p / n x p products at full precision: the TPU MXU's default bf16
+    # inputs lose the orthogonality digits trust-region logic relies on.
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _proj(x, v):
-    xtv = jnp.swapaxes(x, -1, -2) @ v
-    return v - x @ _sym(xtv)
+    xtv = _mm(jnp.swapaxes(x, -1, -2), v)
+    return v - _mm(x, _sym(xtv))
 
 
 def _inner(x, u, v):
@@ -46,12 +52,13 @@ def _inner(x, u, v):
 def _polar_retract(x, v):
     """R_X(V) = (X+V) (I + V^T V)^{-1/2}  (V tangent => (X+V)^T(X+V) = I + V^T V)."""
     y = x + v
-    g = jnp.swapaxes(v, -1, -2) @ v
+    g = _mm(jnp.swapaxes(v, -1, -2), v)
     g = g + jnp.eye(g.shape[-1], dtype=g.dtype)
     # inverse matrix square root of the small p x p SPD Gram via eigh
     w, q = jnp.linalg.eigh(g)
-    inv_sqrt = (q * (1.0 / jnp.sqrt(w))[..., None, :]) @ jnp.swapaxes(q, -1, -2)
-    return y @ inv_sqrt
+    inv_sqrt = _mm(q * (1.0 / jnp.sqrt(w))[..., None, :],
+                   jnp.swapaxes(q, -1, -2))
+    return _mm(y, inv_sqrt)
 
 
 def _egrad_to_rgrad(x, g):

@@ -1,1 +1,1 @@
-from . import gradient_descent
+from . import admm, gradient_descent, prox, proximal_gradient, tnls, tnt

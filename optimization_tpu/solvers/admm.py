@@ -1,0 +1,323 @@
+"""ADMM (alternating direction method of multipliers), optionally
+Nesterov-accelerated, for problems of the form
+
+    min  f(x) + g(y)   s.t.   A x + B y = c
+
+TPU-native re-design of the reference ``ADMM`` (``Convex/ADMM.h:265-645``).
+The user supplies the two augmented-Lagrangian minimizers ``minLx``/``minLy``
+(reference ``ADMM.h:45-53``) plus the linear operators A, B, A'; the solver
+owns the outer loop as a single jitted ``lax.while_loop``.  Consensus-form
+scenario sharding (per-shard x-updates + psum averaging) is built on top in
+``optimization_tpu.parallel.consensus``.
+
+Functional contract (matching the reference exactly):
+
+- dual update  lambda+ = lambda(+hat) + rho (A x + B y - c)  (``ADMM.h:399-402``);
+- monotone merit  m_k = sqrt(rho |B dy|^2 + rho |r|^2); accelerated step
+  accepted iff m_k < eta m_{k-1}, else restart with alpha = 1, y_hat = y_prev
+  (Goldstein et al. Alg. 8; ``ADMM.h:404-451``);
+- modified dual residual  s = rho A'(B y - B y_hat|B y_prev)  held over
+  restart iterations (``ADMM.h:453-468``);
+- combined absolute+relative stopping on primal/dual residuals
+  (Boyd Sec. 3.3.1; ``ADMM.h:526-543``);
+- He-Yang-Wang residual-balancing rho adaptation inside a window, which in
+  accelerated mode forces a restart (``ADMM.h:545-566``);
+- identical parameter names/defaults (``ADMM.h:104-183``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.tree import tree_axpy, tree_dot, tree_sub, tree_where
+from ..core.types import ADMMIterationType, ADMMStatus, OptimizerParams
+
+__all__ = ["ADMMMode", "ADMMPenaltyAdaptation", "ADMMParams", "ADMMProblem",
+           "ADMMResult", "solve"]
+
+
+class ADMMMode(enum.Enum):
+    SIMPLE = "simple"
+    ACCELERATED = "accelerated"
+
+
+class ADMMPenaltyAdaptation(enum.Enum):
+    NONE = "none"
+    RESIDUAL_BALANCE = "residual_balance"
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMParams(OptimizerParams):
+    """Mirrors ``ADMMParams`` (reference ``ADMM.h:104-183``)."""
+
+    rho: float = 1.0
+    penalty_adaptation_mode: ADMMPenaltyAdaptation = ADMMPenaltyAdaptation.NONE
+    penalty_adaptation_period: int = 2
+    penalty_adaptation_window: int = 2**62
+    residual_balance_mu: float = 10.0
+    residual_balance_tau: float = 2.0
+    mode: ADMMMode = ADMMMode.SIMPLE
+    eta: float = 0.999
+    eps_abs_pri: float = 1e-2
+    eps_abs_dual: float = 1e-2
+    eps_rel: float = 1e-3
+
+    def validate(self) -> None:
+        super().validate()
+        if self.rho <= 0:
+            raise ValueError("Penalty parameter (rho) must be a positive real value")
+        if not (0 < self.eta < 1):
+            raise ValueError("Acceleration acceptance threshold (eta) must be in (0,1)")
+        if self.residual_balance_mu <= 1:
+            raise ValueError("residual_balance_mu must be greater than 1")
+        if self.residual_balance_tau <= 1:
+            raise ValueError("residual_balance_tau must be greater than 1")
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ADMMProblem:
+    """The user-supplied seam of the ADMM splitting (reference ``ADMM.h:45-53``).
+
+    - ``minLx(y, lam, rho, data) -> x``: argmin_x L_rho(x, y; lam)
+    - ``minLy(x, lam, rho, data) -> y``: argmin_y L_rho(x, y; lam)
+    - ``A(x, data)``, ``B(y, data)``, ``At(r, data)``: linear operators.
+    """
+
+    minLx: Callable[..., Any]
+    minLy: Callable[..., Any]
+    A: Callable[..., Any]
+    B: Callable[..., Any]
+    At: Callable[..., Any]
+    inner_x: Optional[Callable[..., Any]] = None
+    inner_r: Optional[Callable[..., Any]] = None
+
+    def ipx(self, u, v):
+        return (self.inner_x or (lambda a, b: tree_dot(a, b)))(u, v)
+
+    def ipr(self, u, v):
+        return (self.inner_r or (lambda a, b: tree_dot(a, b)))(u, v)
+
+
+class ADMMResult(NamedTuple):
+    x: Any
+    y: Any               # y_hat in accelerated mode (reference ADMM.h:592-593)
+    lam: Any             # lambda_hat in accelerated mode
+    status: jnp.ndarray
+    num_iterations: jnp.ndarray
+    primal_residuals: jnp.ndarray
+    dual_residuals: jnp.ndarray
+    m_k: jnp.ndarray
+    penalty_parameters: jnp.ndarray
+    iteration_types: jnp.ndarray   # ADMMIterationType codes
+
+
+class _State(NamedTuple):
+    k: jnp.ndarray
+    x: Any
+    y: Any
+    lam: Any
+    rho: jnp.ndarray
+    y_prev: Any
+    By_prev: Any
+    y_hat: Any
+    lam_hat: Any
+    lam_prev: Any
+    alpha: jnp.ndarray
+    m_prev: jnp.ndarray
+    dual_residual: jnp.ndarray
+    iteration_type: jnp.ndarray
+    status: jnp.ndarray
+    primal_residuals: jnp.ndarray
+    dual_residuals: jnp.ndarray
+    m_trace: jnp.ndarray
+    penalty_parameters: jnp.ndarray
+    iteration_types: jnp.ndarray
+
+
+def solve(
+    problem: ADMMProblem,
+    c: Any,
+    x0: Any,
+    y0: Any,
+    params: ADMMParams = ADMMParams(),
+    data: Any = None,
+) -> ADMMResult:
+    params.validate()
+    return _solve(problem, params, c, x0, y0, data)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _solve(problem: ADMMProblem, params: ADMMParams,
+           c: Any, x0: Any, y0: Any, data: Any) -> ADMMResult:
+    accelerated = params.mode == ADMMMode.ACCELERATED
+    balance = (params.penalty_adaptation_mode
+               == ADMMPenaltyAdaptation.RESIDUAL_BALANCE)
+    n_trace = params.max_iterations
+
+    A = lambda x: problem.A(x, data)
+    B = lambda y: problem.B(y, data)
+    At = lambda r: problem.At(r, data)
+
+    c_norm = jnp.sqrt(problem.ipr(c, c))
+    dtype = c_norm.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    # --- initialization (reference ADMM.h:338-360) ---
+    rho0 = jnp.asarray(params.rho, dtype)
+    Ax0 = A(x0)
+    By0 = B(y0)
+    r0 = tree_sub(tree_axpy(1.0, Ax0, By0), c)
+    lam0 = jax.tree_util.tree_map(lambda l: rho0 * l, r0)
+
+    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    st0 = _State(
+        k=jnp.zeros((), jnp.int32),
+        x=x0, y=y0, lam=lam0, rho=rho0,
+        y_prev=y0, By_prev=By0,
+        y_hat=y0, lam_hat=lam0, lam_prev=lam0,
+        alpha=jnp.ones((), dtype),
+        m_prev=big,
+        dual_residual=big,
+        iteration_type=jnp.asarray(
+            (ADMMIterationType.RESTART if accelerated
+             else ADMMIterationType.STANDARD).value, jnp.int32),
+        status=jnp.asarray(ADMMStatus.RUNNING.value, jnp.int32),
+        primal_residuals=nan_trace,
+        dual_residuals=nan_trace,
+        m_trace=nan_trace,
+        penalty_parameters=nan_trace,
+        iteration_types=jnp.zeros((n_trace,), jnp.int32),
+    )
+
+    def body(st: _State) -> _State:
+        y_in = st.y_hat if accelerated else st.y
+        lam_in = st.lam_hat if accelerated else st.lam
+
+        # --- x / y / lambda updates (reference ADMM.h:378-402) ---
+        x = problem.minLx(y_in, lam_in, st.rho, data)
+        y = problem.minLy(x, lam_in, st.rho, data)
+        Ax = A(x)
+        By = B(y)
+        r = tree_sub(tree_axpy(1.0, Ax, By), c)
+        primal = jnp.sqrt(problem.ipr(r, r))
+        lam = tree_axpy(st.rho, r, lam_in)
+
+        # --- monotone merit m_k (reference ADMM.h:404-410) ---
+        By_ref = B(st.y_hat) if accelerated else st.By_prev
+        By_diff = tree_sub(By, By_ref)
+        m_k = jnp.sqrt(st.rho * problem.ipr(r, r)
+                       + st.rho * problem.ipr(By_diff, By_diff))
+
+        # --- Nesterov acceleration / restart (reference ADMM.h:416-451) ---
+        if accelerated:
+            accept = m_k < params.eta * st.m_prev
+            alpha_next_acc = (1.0 + jnp.sqrt(1.0 + 4.0 * st.alpha**2)) / 2.0
+            w = (st.alpha - 1.0) / alpha_next_acc
+            y_hat_acc = tree_axpy(w, tree_sub(y, st.y_prev), y)
+            lam_hat_acc = tree_axpy(w, tree_sub(lam, st.lam_prev), lam)
+            type_acc = jnp.where(
+                st.iteration_type == ADMMIterationType.RESTART.value,
+                ADMMIterationType.STANDARD.value,
+                ADMMIterationType.ACCELERATED.value).astype(jnp.int32)
+
+            alpha_next = jnp.where(accept, alpha_next_acc, 1.0)
+            y_hat = tree_where(accept, y_hat_acc, st.y_prev)
+            lam_hat = tree_where(accept, lam_hat_acc, lam)
+            m_k = jnp.where(accept, m_k, st.m_prev)
+            itype = jnp.where(accept, type_acc,
+                              ADMMIterationType.RESTART.value).astype(jnp.int32)
+        else:
+            alpha_next = st.alpha
+            y_hat = st.y_hat
+            lam_hat = st.lam_hat
+            itype = jnp.asarray(ADMMIterationType.STANDARD.value, jnp.int32)
+
+        # --- dual residual, held over restarts (reference ADMM.h:461-468) ---
+        dual_ref = tree_where(
+            itype == ADMMIterationType.ACCELERATED.value,
+            B(y_hat), st.By_prev) if accelerated else st.By_prev
+        s = jax.tree_util.tree_map(
+            lambda l: st.rho * l, At(tree_sub(By, dual_ref)))
+        dual_now = jnp.sqrt(problem.ipx(s, s))
+        dual = jnp.where(itype == ADMMIterationType.RESTART.value,
+                         st.dual_residual, dual_now)
+
+        # --- record traces ---
+        traces = dict(
+            primal_residuals=st.primal_residuals.at[st.k].set(primal),
+            dual_residuals=st.dual_residuals.at[st.k].set(dual),
+            m_trace=st.m_trace.at[st.k].set(m_k),
+            penalty_parameters=st.penalty_parameters.at[st.k].set(st.rho),
+            iteration_types=st.iteration_types.at[st.k].set(itype),
+        )
+
+        # --- stopping criteria (reference ADMM.h:526-543) ---
+        Ax_norm = jnp.sqrt(problem.ipr(Ax, Ax))
+        By_norm = jnp.sqrt(problem.ipr(By, By))
+        eps_pri = (params.eps_abs_pri + params.eps_rel
+                   * jnp.maximum(jnp.maximum(Ax_norm, By_norm), c_norm))
+        At_lam = At(lam)
+        eps_dual = (params.eps_abs_dual
+                    + params.eps_rel * jnp.sqrt(problem.ipx(At_lam, At_lam)))
+        stop = (primal < eps_pri) & (dual < eps_dual)
+        status = jnp.where(stop, ADMMStatus.RESIDUAL_TOLERANCE.value,
+                           ADMMStatus.RUNNING.value).astype(jnp.int32)
+
+        # --- penalty adaptation (reference ADMM.h:545-566) ---
+        rho = st.rho
+        if balance:
+            adapt = ((jnp.mod(st.k, params.penalty_adaptation_period) == 0)
+                     & (st.k < params.penalty_adaptation_window) & ~stop)
+            rho_up = jnp.where(primal > params.residual_balance_mu * dual,
+                               rho * params.residual_balance_tau, rho)
+            rho_new = jnp.where(dual > params.residual_balance_mu * primal,
+                                rho / params.residual_balance_tau, rho_up)
+            changed = adapt & (rho_new != rho)
+            rho = jnp.where(adapt, rho_new, rho)
+            if accelerated:
+                # A rho change invalidates the merit history: force a restart
+                alpha_next = jnp.where(changed, 1.0, alpha_next)
+                y_hat = tree_where(changed, st.y_prev, y_hat)
+                lam_hat = tree_where(changed, lam, lam_hat)
+                itype = jnp.where(changed, ADMMIterationType.RESTART.value,
+                                  itype).astype(jnp.int32)
+
+        m_prev = (jnp.where(itype == ADMMIterationType.RESTART.value, big, m_k)
+                  if accelerated else m_k)
+
+        return _State(
+            k=st.k + 1,
+            x=x, y=y, lam=lam, rho=rho,
+            y_prev=y, By_prev=By,
+            y_hat=y_hat, lam_hat=lam_hat, lam_prev=lam,
+            alpha=alpha_next, m_prev=m_prev,
+            dual_residual=dual, iteration_type=itype, status=status,
+            **traces,
+        )
+
+    def cond(st: _State):
+        return ((st.k < params.max_iterations)
+                & (st.status == ADMMStatus.RUNNING.value))
+
+    st = jax.lax.while_loop(cond, body, st0)
+    status = jnp.where(st.status == ADMMStatus.RUNNING.value,
+                       ADMMStatus.ITERATION_LIMIT.value,
+                       st.status).astype(jnp.int32)
+
+    return ADMMResult(
+        x=st.x,
+        y=st.y_hat if accelerated else st.y,
+        lam=st.lam_hat if accelerated else st.lam,
+        status=status, num_iterations=st.k,
+        primal_residuals=st.primal_residuals,
+        dual_residuals=st.dual_residuals,
+        m_k=st.m_trace,
+        penalty_parameters=st.penalty_parameters,
+        iteration_types=st.iteration_types,
+    )

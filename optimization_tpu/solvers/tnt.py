@@ -205,7 +205,9 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         ridx = st.k - 1  # per-step trace slot (k was already incremented)
         x, fx, grad = st.x, st.f, st.grad
 
-        Hv = lambda v: problem.hvp(x, v, data)
+        # Quadratic model built once per outer iterate (reference TNT.h:374-380):
+        # the Hv closure reuses all x-dependent work across inner CG steps.
+        _, Hv = problem.qm(x, data)
         inner = lambda u, v: M.inner(x, u, v)
         precon_fn = None
         if problem.precon is not None:

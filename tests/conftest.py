@@ -2,8 +2,15 @@
 
 The reference's tolerances (1e-6 .. 1e-8) assume double precision, so tests
 run in x64 on CPU; multi-device sharding tests use the JAX "fake backend"
-idiom (XLA_FLAGS=--xla_force_host_platform_device_count=8).  TPU execution is
-covered by bench.py / examples on real hardware.
+idiom (8 virtual CPU devices).  TPU execution is covered by bench.py /
+examples on real hardware.
+
+NB: this environment preloads the axon TPU plugin via a sitecustomize .pth,
+which imports jax at interpreter start — environment variables like
+JAX_PLATFORMS / XLA_FLAGS are therefore already consumed.  The dynamic
+``jax.config.update`` calls below are the only reliable way to pin the
+backend.  Do NOT enable jax_compilation_cache_dir: the persistent compile
+cache deadlocks the first jit in this JAX build.
 """
 
 import os
@@ -11,12 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,114 @@
+"""LOBPCG tests mirroring reference ``LOBPCG_unit_test.cpp``.
+
+Fixture: A = diag(LinSpaced(-n/2, n/2)), B = diag(1..n), T = |A| as a
+(diagonal) preconditioner; n=1000, block size nx=10, nev=5, tau=1e-8
+(ref lines 30-75).  Checks:
+
+- Rayleigh-Ritz invariants C'AC = Theta, C'BC = I (ref lines 79-103).
+- Small 4-dim standard problem with pinned X0 (ref lines 105-135).
+- Standard / preconditioned / generalized problems: all nev converged and
+  |Theta - Lambda_true| < 1e-4 (ref lines 137-225).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_tpu.linalg.lobpcg import lobpcg, rayleigh_ritz
+
+N = 1000
+NX = 10
+NEV = 5
+TAU = 1e-8
+
+Adiag = jnp.linspace(-0.5 * N, 0.5 * N, N)
+Bdiag = jnp.linspace(1.0, N, N)
+
+A_op = lambda S: Adiag[:, None] * S
+B_op = lambda S: Bdiag[:, None] * S
+T_op = lambda S: jnp.abs(Adiag)[:, None] * S
+
+
+def test_rayleigh_ritz_invariants():
+    n = 7
+    rng = np.random.default_rng(5)
+    AL = rng.uniform(-1, 1, (n, n))
+    A = jnp.asarray(-AL @ AL.T)          # negative definite
+    BL = rng.uniform(-1, 1, (n, n))
+    B = jnp.asarray(BL @ BL.T + 1e-3 * np.eye(n))  # SPD
+    theta, C = rayleigh_ritz(A, B)
+    assert float(jnp.linalg.norm(C.T @ A @ C - jnp.diag(theta))) < 1e-8
+    assert float(jnp.linalg.norm(C.T @ B @ C - jnp.eye(n))) < 1e-8
+    # Ascending eigenvalue order
+    assert (np.diff(np.asarray(theta)) >= 0).all()
+
+
+def test_small_eigenvalue_problem():
+    lam = jnp.array([1.0, 2.0, 3.0, 4.0])
+    X0 = jnp.array([
+        [0.8147, 0.6324],
+        [0.9058, 0.0975],
+        [0.1270, 0.2785],
+        [0.9134, 0.5469],
+    ])
+    res = lobpcg(lambda S: lam[:, None] * S, X0=X0, nev=2,
+                 max_iterations=N, tau=TAU)
+    assert int(res.num_converged) == 2
+    assert float(jnp.linalg.norm(res.theta - lam[:2])) < 1e-3
+
+
+def test_standard_eigenvalue_problem():
+    res = lobpcg(A_op, m=N, nx=NX, nev=NEV, max_iterations=10 * N, tau=TAU,
+                 key=jax.random.PRNGKey(1))
+    assert int(res.num_converged) == NEV
+    assert float(jnp.linalg.norm(res.theta - Adiag[:NEV])) < 1e-4
+
+
+def test_preconditioned_eigenvalue_problem():
+    res = lobpcg(A_op, T=T_op, m=N, nx=NX, nev=NEV, max_iterations=N,
+                 tau=TAU, key=jax.random.PRNGKey(2))
+    assert int(res.num_converged) == NEV
+    assert float(jnp.linalg.norm(res.theta - Adiag[:NEV])) < 1e-4
+
+
+def _generalized_truth():
+    lam = np.sort(np.asarray(Adiag) / np.asarray(Bdiag))
+    return jnp.asarray(lam[:NEV])
+
+
+def test_generalized_eigenvalue_problem():
+    res = lobpcg(A_op, B=B_op, m=N, nx=NX, nev=NEV, max_iterations=N,
+                 tau=TAU, key=jax.random.PRNGKey(3))
+    assert int(res.num_converged) == NEV
+    assert float(jnp.linalg.norm(res.theta - _generalized_truth())) < 1e-4
+
+
+def test_preconditioned_generalized_eigenvalue_problem():
+    res = lobpcg(A_op, B=B_op, T=T_op, m=N, nx=NX, nev=NEV,
+                 max_iterations=N, tau=TAU, key=jax.random.PRNGKey(4))
+    assert int(res.num_converged) == NEV
+    assert float(jnp.linalg.norm(res.theta - _generalized_truth())) < 1e-4
+
+
+def test_eigenvectors_satisfy_pencil():
+    """Residual check: |A x - theta B x| small for each returned pair."""
+    res = lobpcg(A_op, B=B_op, m=N, nx=NX, nev=NEV, max_iterations=N,
+                 tau=TAU, key=jax.random.PRNGKey(3))
+    R = A_op(res.X) - B_op(res.X) * res.theta[None, :]
+    assert float(jnp.linalg.norm(R)) < 1e-3
+
+
+def test_user_function_early_stop():
+    stop = lambda k, nev, theta, X, r, nc: k >= 3
+    res = lobpcg(A_op, m=N, nx=NX, nev=NEV, max_iterations=N, tau=TAU,
+                 key=jax.random.PRNGKey(1), user_function=stop)
+    assert int(res.num_iterations) == 3
+
+
+def test_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        lobpcg(A_op, m=N, nx=4, nev=5, max_iterations=10)
+    with pytest.raises(ValueError):
+        lobpcg(A_op, m=3, nx=4, nev=2, max_iterations=10)

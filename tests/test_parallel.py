@@ -1,0 +1,168 @@
+"""Multi-device tests on the fake 8-device CPU mesh.
+
+Mirrors the plan in SURVEY.md section 4 ("multi-node testing"): mesh-
+parametrized tests asserting that sharded solves equal single-device solves
+to tolerance, for each parallelism strategy of section 2.9:
+
+- DP / scenario sharding: a vmapped TNT fleet sharded over "batch".
+- TP-analog / block partitioning: one large problem with its variable sharded
+  over "model"; GSPMD inserts the psum for every metric reduction.
+- Consensus ADMM: per-shard x-updates + all-reduce averaging z-update.
+- shard_map collectives: the explicit pdot/pmean primitives.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from optimization_tpu import RiemannianProblem
+from optimization_tpu.core.types import ADMMStatus, TNTStatus
+from optimization_tpu.manifolds import sphere
+from optimization_tpu.parallel import (batch_mesh, collectives, consensus,
+                                       make_mesh, model_mesh)
+from optimization_tpu.parallel.sharding import shard_batch, shard_model_vector
+from optimization_tpu.solvers import admm, tnt
+from optimization_tpu.solvers.prox import soft_threshold
+
+PARAMS = tnt.TNTParams(
+    gradient_tolerance=1e-8, relative_decrease_tolerance=0.0,
+    stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+
+
+def f_sphere(x, data):
+    d = x - data
+    return jnp.sum(d * d)
+
+
+def test_scenario_sharded_tnt_matches_single_device():
+    """DP: 8 sphere instances sharded over an 8-device batch mesh."""
+    mesh = batch_mesh(8)
+    problem = RiemannianProblem(f=f_sphere, manifold=sphere())
+    key = jax.random.PRNGKey(0)
+    Ps = sphere().rand(key, 8, 3)
+    x0s = jnp.tile(jnp.array([-0.5, -0.5, -0.707107]), (8, 1))
+
+    solve1 = lambda x, p: tnt.solve(problem, x, PARAMS, data=p)
+    ref = jax.vmap(solve1)(x0s, Ps)
+
+    x0s_sh = shard_batch(x0s, mesh)
+    Ps_sh = shard_batch(Ps, mesh)
+    res = jax.jit(jax.vmap(solve1))(x0s_sh, Ps_sh)
+
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-12)
+    assert (np.asarray(res.status) == TNTStatus.GRADIENT).all()
+
+
+def test_block_partitioned_tnt_matches_single_device():
+    """TP-analog: Rayleigh quotient on S^{n-1} with x sharded over 'model'.
+
+    The metric inner products and the diagonal Hv become per-shard work +
+    psum, inserted by GSPMD from the NamedSharding annotation alone.
+    """
+    n = 1024
+    d = jnp.linspace(1.0, 100.0, n)
+
+    def f(x, data):
+        return jnp.dot(x, data * x)
+
+    problem = RiemannianProblem(f=f, manifold=sphere())
+    x0 = sphere().rand(jax.random.PRNGKey(42), n)
+    params = tnt.TNTParams(
+        gradient_tolerance=1e-8, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0,
+        max_iterations=500)
+
+    ref = tnt.solve(problem, x0, params, data=d)
+
+    mesh = model_mesh(8)
+    x0_sh = shard_model_vector(x0, mesh)
+    d_sh = shard_model_vector(d, mesh)
+    res = tnt.solve(problem, x0_sh, params, data=d_sh)
+
+    assert int(res.status) == TNTStatus.GRADIENT
+    np.testing.assert_allclose(float(res.f), float(ref.f), atol=1e-10)
+    np.testing.assert_allclose(np.abs(np.asarray(res.x)),
+                               np.abs(np.asarray(ref.x)), atol=1e-6)
+
+
+def test_consensus_admm_lasso():
+    """Consensus ADMM: split a LASSO across 8 scenario shards; the solution
+    matches the full-data FISTA objective."""
+    rng = np.random.default_rng(21)
+    N, mi, n = 8, 40, 64
+    A = rng.normal(size=(N, mi, n))
+    x_true = np.zeros(n)
+    x_true[rng.integers(0, n, 8)] = rng.normal(size=8)
+    b = A @ x_true + 0.01 * rng.normal(size=(N, mi))
+    mu = 0.1
+
+    A_j, b_j = jnp.asarray(A), jnp.asarray(b)
+
+    def local_argmin(z, lam_i, rho, data_i):
+        Ai, bi = data_i
+        # argmin 0.5|A_i x - b_i|^2 + <lam_i, x> + rho/2 |x - z|^2
+        H = Ai.T @ Ai + rho * jnp.eye(n)
+        return jax.scipy.linalg.solve(
+            H, Ai.T @ bi - lam_i + rho * z, assume_a="pos")
+
+    prox_g = lambda v, lam, d: soft_threshold(v, mu * N * lam)
+
+    problem = consensus.consensus_problem(local_argmin, prox_g=prox_g)
+    # Residual balancing pushes rho up when the primal residual dominates,
+    # which this splitting needs to hit the tight tolerances quickly.
+    params = admm.ADMMParams(
+        max_iterations=1000, eps_rel=1e-5, eps_abs_pri=1e-4,
+        eps_abs_dual=1e-4, rho=1.0,
+        penalty_adaptation_mode=admm.ADMMPenaltyAdaptation.RESIDUAL_BALANCE,
+        penalty_adaptation_period=2, penalty_adaptation_window=200)
+
+    mesh = batch_mesh(8)
+    data = (shard_batch(A_j, mesh), shard_batch(b_j, mesh))
+    res = admm.solve(problem, jnp.zeros((N, n)), jnp.zeros((N, n)),
+                     jnp.zeros(n), params, data=data)
+    assert int(res.status) == ADMMStatus.RESIDUAL_TOLERANCE
+
+    # Compare with full-data FISTA on sum_i 0.5|A_i x - b_i|^2 + mu N |x|_1
+    from optimization_tpu import CompositeProblem
+    from optimization_tpu.solvers import proximal_gradient as pg
+    Afull = A.reshape(N * mi, n)
+    bfull = b.reshape(N * mi)
+    fista = CompositeProblem(
+        f=lambda x, dd: 0.5 * jnp.sum((jnp.asarray(Afull) @ x
+                                       - jnp.asarray(bfull)) ** 2),
+        g=lambda x, dd: mu * N * jnp.sum(jnp.abs(x)),
+        prox_g=lambda x, lam, dd: soft_threshold(x, mu * N * lam))
+    ref = pg.solve(fista, jnp.zeros(n), pg.ProximalGradientParams(
+        max_iterations=50000, composite_gradient_tolerance=1e-8,
+        relative_composite_gradient_tolerance=1e-10))
+    obj = lambda x: (0.5 * float(jnp.sum((jnp.asarray(Afull) @ x
+                                          - jnp.asarray(bfull)) ** 2))
+                     + mu * N * float(jnp.sum(jnp.abs(x))))
+    assert obj(res.y) <= obj(ref.x) * 1.02 + 1e-8
+
+
+def test_shard_map_collectives():
+    mesh = make_mesh((8,), ("model",))
+    u = jnp.arange(32.0)
+    v = jnp.ones(32)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P("model"), out_specs=P())
+    def distributed_dot(a, b):
+        return collectives.pdot(a, b, "model")
+
+    np.testing.assert_allclose(float(distributed_dot(u, v)),
+                               float(jnp.dot(u, v)))
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P("model"), out_specs=P("model"))
+    def consensus_avg(a):
+        return jnp.broadcast_to(collectives.pmean_tree(jnp.mean(a), "model"),
+                                a.shape)
+
+    out = consensus_avg(u)
+    np.testing.assert_allclose(np.asarray(out), np.full(32, float(u.mean())))

@@ -1,0 +1,85 @@
+"""Rotation-synchronization model tests (the SE-Sync-style flagship).
+
+The reference library is the solver engine behind SE-Sync; this exercises the
+full pipeline the reference was built for: chordal (spectral) initialization
+via LOBPCG on the connection Laplacian, then Riemannian TNT refinement on
+SO(3)^n, asserting convergence to the noise floor on multiple instances.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_tpu.core.types import TNTStatus
+from optimization_tpu.models import rotation_sync as rs
+from optimization_tpu.solvers import tnt
+
+N, D = 24, 3
+
+PARAMS = tnt.TNTParams(
+    max_iterations=100, gradient_tolerance=1e-8,
+    relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+    preconditioned_gradient_tolerance=0.0)
+
+
+def _instance(seed, noise=0.05):
+    return rs.random_instance(jax.random.PRNGKey(seed), N, D,
+                              extra_edges=2 * N, noise=noise,
+                              dtype=jnp.float64)
+
+
+def test_instance_properties():
+    R_true, data = _instance(0)
+    # Ground truth rotations are orthogonal with det +1
+    eye = jnp.swapaxes(R_true, -1, -2) @ R_true
+    np.testing.assert_allclose(np.asarray(eye),
+                               np.tile(np.eye(D), (N, 1, 1)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.det(R_true)),
+                               np.ones(N), atol=1e-12)
+    # Noiseless measurements give zero cost at the truth
+    _, clean = rs.random_instance(jax.random.PRNGKey(0), N, D,
+                                  extra_edges=2 * N, noise=0.0,
+                                  dtype=jnp.float64)
+    assert float(rs.chordal_cost(R_true, clean)) < 1e-20
+
+
+def test_spectral_init_quality():
+    R_true, data = _instance(1)
+    R0 = rs.spectral_init(data, N, D)
+    # Valid rotations
+    eye = jnp.swapaxes(R0, -1, -2) @ R0
+    np.testing.assert_allclose(np.asarray(eye),
+                               np.tile(np.eye(D), (N, 1, 1)), atol=1e-6)
+    assert (np.asarray(jnp.linalg.det(R0)) > 0).all()
+    # Close to the truth already (low noise)
+    assert float(rs.mean_rotation_error(R0, R_true)) < 0.2
+
+
+def test_pipeline_converges():
+    problem = rs.make_problem()
+    for seed in (2, 3):
+        R_true, data = _instance(seed)
+        R0 = rs.spectral_init(data, N, D)
+        res = tnt.solve(problem, R0, PARAMS, data=data)
+        assert int(res.status) == TNTStatus.GRADIENT
+        # Newton phase: just a handful of outer iterations from chordal init
+        assert int(res.num_iterations) <= 20
+        assert float(rs.mean_rotation_error(res.x, R_true)) < 0.1
+        # Iterates stay on SO(3)^n
+        eye = jnp.swapaxes(res.x, -1, -2) @ res.x
+        np.testing.assert_allclose(np.asarray(eye),
+                                   np.tile(np.eye(D), (N, 1, 1)), atol=1e-9)
+
+
+def test_connection_laplacian_psd_and_kernel():
+    R_true, data = rs.random_instance(jax.random.PRNGKey(4), N, D,
+                                      extra_edges=2 * N, noise=0.0,
+                                      dtype=jnp.float64)
+    L = rs.connection_laplacian_op(data, N, D)
+    # The stacked truth spans the kernel in the noiseless case
+    X = R_true.reshape(N * D, D)
+    assert float(jnp.linalg.norm(L(X))) < 1e-10
+    # PSD: random probes have nonnegative quadratic form
+    probes = jax.random.normal(jax.random.PRNGKey(5), (N * D, 4))
+    quad = jnp.sum(probes * L(probes), axis=0)
+    assert (np.asarray(quad) > -1e-10).all()

@@ -1,0 +1,125 @@
+"""TNT tests mirroring reference ``TNT_unit_test.cpp`` + the Euclidean example.
+
+- Riemannian TNT on S^2 for f(X) = |X - P|^2: terminates with
+  status=Gradient at |grad| < 1e-8, objective strictly decreased
+  (ref ``TNT_unit_test.cpp:126-155``); repeated with a diagonal
+  preconditioner (ref ``TNT_unit_test.cpp:157-187``).
+- Euclidean TNT on Rosenbrock (ref ``Euclidean_optimization_example.cpp``).
+- Rayleigh-quotient minimization on S^{n-1} (BASELINE config 2): TNT finds
+  the smallest eigenpair of a diagonal operator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from optimization_tpu import RiemannianProblem
+from optimization_tpu.core.types import TNTStatus
+from optimization_tpu.manifolds import euclidean, sphere
+from optimization_tpu.solvers import tnt
+
+EPS = 1e-8
+
+P = jnp.array([0.0, 0.0, 1.0])
+X0 = jnp.array([-0.5, -0.5, -0.707107])
+
+PARAMS = tnt.TNTParams(
+    gradient_tolerance=EPS,
+    relative_decrease_tolerance=0.0,
+    stepsize_tolerance=0.0,
+    preconditioned_gradient_tolerance=0.0,
+)
+
+
+def f_sphere(x, data):
+    d = x - data
+    return jnp.sum(d * d)
+
+
+def test_tnt_sphere():
+    problem = RiemannianProblem(f=f_sphere, manifold=sphere())
+    res = tnt.solve(problem, X0, PARAMS, data=P)
+    assert int(res.status) == TNTStatus.GRADIENT
+    assert float(res.gradfx_norm) < EPS
+    assert float(res.f) < float(f_sphere(X0, P))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(P), atol=1e-6)
+
+
+def test_tnt_sphere_preconditioned():
+    D = jnp.array([1.0, 2.0, 3.0])
+    problem = RiemannianProblem(
+        f=f_sphere, manifold=sphere(),
+        precon=lambda x, v, data: D * v)
+    res = tnt.solve(problem, X0, PARAMS, data=P)
+    assert int(res.status) == TNTStatus.GRADIENT
+    assert float(res.gradfx_norm) < EPS
+    assert float(res.f) < float(f_sphere(X0, P))
+
+
+def test_tnt_rosenbrock():
+    def rosenbrock(x, data):
+        return (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+    problem = RiemannianProblem(f=rosenbrock, manifold=euclidean())
+    params = tnt.TNTParams(
+        gradient_tolerance=1e-6, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0,
+        max_iterations=1000)
+    res = tnt.solve(problem, jnp.array([-1.2, 1.0]), params)
+    assert int(res.status) == TNTStatus.GRADIENT
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-6)
+    # Newton-type method: far fewer outer iterations than first-order GD
+    assert int(res.num_iterations) < 100
+
+
+def test_tnt_rayleigh_quotient():
+    """Smallest eigenpair of diag(1..n) via TNT on S^{n-1}."""
+    n = 50
+    d = jnp.arange(1.0, n + 1.0)
+
+    def f(x, data):
+        return jnp.dot(x, data * x)
+
+    problem = RiemannianProblem(f=f, manifold=sphere())
+    key = jax.random.PRNGKey(42)
+    x0 = sphere().rand(key, n)
+    params = tnt.TNTParams(
+        gradient_tolerance=1e-8, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0,
+        max_iterations=500)
+    res = tnt.solve(problem, x0, params, data=d)
+    assert int(res.status) == TNTStatus.GRADIENT
+    # Rayleigh quotient at the minimizer = smallest eigenvalue = 1
+    np.testing.assert_allclose(float(res.f), 1.0, atol=1e-8)
+    np.testing.assert_allclose(abs(float(res.x[0])), 1.0, atol=1e-4)
+
+
+def test_tnt_batched():
+    """vmapped fleet of sphere problems with different targets."""
+    key = jax.random.PRNGKey(0)
+    Ps = sphere().rand(key, 8, 3)
+    problem = RiemannianProblem(f=f_sphere, manifold=sphere())
+    x0 = jnp.tile(X0, (8, 1))
+    res = jax.vmap(lambda x, p: tnt.solve(problem, x, PARAMS, data=p))(x0, Ps)
+    assert res.x.shape == (8, 3)
+    # All instances converge to their targets
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(Ps), atol=1e-5)
+
+
+def test_tnt_user_function():
+    problem = RiemannianProblem(f=f_sphere, manifold=sphere())
+    stop_at_2 = lambda k, x, f, g, Delta, ii, h, df, rho, acc: k >= 2
+    res = tnt.solve(problem, X0, PARAMS, data=P, user_function=stop_at_2)
+    assert int(res.status) == TNTStatus.USER_FUNCTION
+
+
+def test_tnt_traces():
+    problem = RiemannianProblem(f=f_sphere, manifold=sphere())
+    res = tnt.solve(problem, X0, PARAMS, data=P)
+    n = int(res.num_iterations)
+    obj = np.asarray(res.objective_values[: n + 1])
+    assert np.isfinite(obj).all()
+    # Objective trace non-increasing (accepted steps only decrease f)
+    assert (np.diff(obj) <= 1e-15).all()
+    # Trust-region trace recorded
+    assert np.isfinite(np.asarray(res.trust_region_radius[: n + 1])).all()
