@@ -11,9 +11,13 @@ problem batches and shardable over TPU meshes.
 """
 
 from . import core, linalg, manifolds, solvers
+from .core import driver
+from .core.host import Stopwatch
 from .core.problem import (CompositeProblem, LeastSquaresProblem,
                            RiemannianProblem)
 from .core.types import (ADMMStatus, GradientDescentStatus,
                          ProximalGradientStatus, TNLSStatus, TNTStatus)
+from .solvers.euclidean import (euclidean_gradient_descent, euclidean_tnls,
+                                euclidean_tnt)
 
 __version__ = "0.1.0"

@@ -1,0 +1,340 @@
+"""Host-chunked solve driver: wall-clock limits, verbose output, observers.
+
+The reference checks a wall clock and prints a formatted line at the top of
+every solver iteration (``TNT.h:447-471``, ``GradientDescent.h:231-253``,
+``TNLS.h:491-506``, ``ProximalGradient.h:334-345``, ``ADMM.h:477-504``) and
+stores per-iteration times in ``result.time[]`` (``Base/Concepts.h:76-80``).
+A wall clock cannot live inside a compiled XLA loop, and the production TPU
+runtime does not support JAX host callbacks — so this driver implements the
+SURVEY.md section-7.1 design: run the jitted solver **K iterations per
+dispatch**, read the clock / print / checkpoint *between* dispatches, and
+stitch the per-chunk traces into a single reference-shaped result.
+
+Chunking is exact, not approximate: every solver exposes a warm-start seam
+(traced ``Delta0`` for TNT/TNLS, the ``warm_start`` tuples of
+proximal-gradient and ADMM) that resumes the mathematical iteration with no
+perturbation, so a chunked run visits bitwise the same iterates as a single
+monolithic run of the same solver.  Each chunk reuses one compiled program
+(chunk size and params are static; only the carried state changes).
+
+Granularity of host facilities is the chunk: ``max_computation_time`` is
+checked between chunks (the reference checks between iterations), and all
+iterations in a chunk share the chunk-end timestamp in ``result.times``.
+``chunk_iterations=1`` recovers exact per-iteration behavior.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["drive", "drive_admm"]
+
+
+class _Adapter(NamedTuple):
+    run: Callable          # (x, carry, n_iters) -> result
+    extract: Callable      # result -> (x, carry)
+    pre_traces: Sequence[str]   # length n+1, recorded at top of iteration
+    step_traces: Sequence[str]  # length n, recorded per attempted step
+    iteration_limit: int   # status code meaning "ran out of iterations"
+    elapsed_time: int      # status code for wall-clock stop
+    fmt: Callable          # (result, i, k, prec) -> verbose line
+
+
+def _chunk_params(params, n: int):
+    return dataclasses.replace(params, max_iterations=n)
+
+
+def _adapter_for(solver, problem, params, data, user_function):
+    name = solver.__name__.rsplit(".", 1)[-1]
+
+    if name == "gradient_descent":
+        from ..core.types import GradientDescentStatus as S
+
+        def run(x, carry, n):
+            return solver.solve(problem, x, _chunk_params(params, n), data)
+
+        def fmt(r, i, k, p):
+            return (f"Iter: {k:4d}  f: {r.objective_values[i]:+.{p}e}  "
+                    f"|g|: {r.gradient_norms[i]:.{p}e}")
+
+        return _Adapter(run, lambda r: (r.x, None),
+                        ("objective_values", "gradient_norms"),
+                        ("update_step_norms", "linesearch_iterations"),
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+
+    if name == "tnt":
+        from ..core.types import TNTStatus as S
+
+        def run(x, carry, n):
+            return solver.solve(problem, x, _chunk_params(params, n), data,
+                                user_function=user_function, Delta0=carry)
+
+        def extract(r):
+            return r.x, r.trust_region_radius[r.num_iterations]
+
+        def fmt(r, i, k, p):
+            return (f"Iter: {k:4d}  f: {r.objective_values[i]:+.{p}e}  "
+                    f"|g|: {r.gradient_norms[i]:.{p}e}  "
+                    f"Delta: {r.trust_region_radius[i]:.{p}e}")
+
+        return _Adapter(run, extract,
+                        ("objective_values", "gradient_norms",
+                         "preconditioned_gradient_norms",
+                         "trust_region_radius"),
+                        ("inner_iterations", "update_step_norms",
+                         "update_step_M_norms", "gain_ratios"),
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+
+    if name == "tnls":
+        from ..core.types import TNLSStatus as S
+
+        def run(x, carry, n):
+            return solver.solve(problem, x, _chunk_params(params, n), data,
+                                user_function=user_function, Delta0=carry)
+
+        def extract(r):
+            return r.x, r.trust_region_radius[r.num_iterations]
+
+        def fmt(r, i, k, p):
+            return (f"Iter: {k:4d}  |F|: {r.objective_values[i]:.{p}e}  "
+                    f"|gradL|: {r.gradient_norms[i]:.{p}e}  "
+                    f"Delta: {r.trust_region_radius[i]:.{p}e}")
+
+        return _Adapter(run, extract,
+                        ("objective_values", "gradient_norms",
+                         "trust_region_radius"),
+                        ("inner_iterations", "update_step_norms", "rho"),
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+
+    if name == "proximal_gradient":
+        from ..core.types import ProximalGradientStatus as S
+
+        def run(x, carry, n):
+            return solver.solve(problem, x, _chunk_params(params, n), data,
+                                warm_start=carry)
+
+        def fmt(r, i, k, p):
+            return (f"Iter: {k:4d}  F: {r.objective_values[i]:+.{p}e}  "
+                    f"|G|: {r.composite_gradient_norms[i]:.{p}e}")
+
+        return _Adapter(run, lambda r: (r.x, r.warm_start),
+                        (),
+                        ("objective_values", "composite_gradient_norms",
+                         "relative_composite_gradient_norms"),
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+
+    raise ValueError(f"No driver adapter for solver module '{name}'")
+
+
+def _stitch(results, counts, field, kind, total, final_extra):
+    parts = [np.asarray(getattr(r, field))[:i] for r, i in zip(results, counts)]
+    if kind == "pre" and final_extra:
+        parts.append(np.asarray(getattr(results[-1], field))
+                     [counts[-1]:counts[-1] + 1])
+    flat = np.concatenate(parts) if parts else np.zeros((0,))
+    n = total + (1 if kind == "pre" else 0)
+    if np.issubdtype(flat.dtype, np.integer):
+        out = np.zeros((n,), flat.dtype)
+    else:
+        out = np.full((n,), np.nan, flat.dtype)
+    out[:min(len(flat), n)] = flat[:n]
+    return jnp.asarray(out)
+
+
+def _drive(adapter: _Adapter, params, chunk_iterations, observer,
+           checkpoint_path, x0):
+    verbose = params.verbose
+    if chunk_iterations is None:
+        chunk_iterations = 1 if verbose else max(1, params.max_iterations // 10)
+    chunk_iterations = min(chunk_iterations, max(params.max_iterations, 1))
+
+    start = time.monotonic()
+    results, counts, chunk_times = [], [], []
+    x, carry = x0, None
+    done = 0
+    final_status = None
+
+    while True:
+        n = min(chunk_iterations, params.max_iterations - done)
+        if n <= 0:
+            final_status = adapter.iteration_limit
+            break
+        r = adapter.run(x, carry, n)
+        jax.block_until_ready(r.x)
+        t = time.monotonic() - start
+        i = int(r.num_iterations)
+        status = int(r.status)
+        results.append(r)
+        counts.append(i)
+        chunk_times.append(t)
+        x, carry = adapter.extract(r)
+
+        if verbose:
+            for j in range(i):
+                print(adapter.fmt(r, j, done + j, params.precision)
+                      + f"  time: {t:.3f}", flush=True)
+        if observer is not None:
+            observer(done + i, r, t)
+        if checkpoint_path is not None:
+            from .checkpoint import save_pytree
+            save_pytree(checkpoint_path, (x, carry))
+
+        done += i
+        if status != adapter.iteration_limit:
+            final_status = status
+            break
+        if t > params.max_computation_time:
+            final_status = adapter.elapsed_time
+            break
+        if done >= params.max_iterations:
+            final_status = adapter.iteration_limit
+            break
+
+    last = results[-1]
+    total = done
+    # Reference-shaped stitched traces: each chunk contributes its completed
+    # iterations; the final chunk additionally contributes its closing record.
+    final_extra = True
+    updates = {}
+    for f in adapter.pre_traces:
+        updates[f] = _stitch(results, counts, f, "pre", params.max_iterations,
+                             final_extra)
+    for f in adapter.step_traces:
+        updates[f] = _stitch(results, counts, f, "step",
+                             params.max_iterations, False)
+    if params.log_iterates and getattr(last, "iterates", None) is not None:
+        sliced = [jax.tree_util.tree_map(lambda l, n=i: l[:n], r.iterates)
+                  for r, i in zip(results, counts)]
+        sliced.append(jax.tree_util.tree_map(
+            lambda l: l[counts[-1]:counts[-1] + 1], last.iterates))
+        updates["iterates"] = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs)[:params.max_iterations + 1],
+            *sliced)
+    # times: every iteration of a chunk carries the chunk-end timestamp.
+    times = np.full((params.max_iterations + (1 if adapter.pre_traces else 0),),
+                    np.nan, np.float32)
+    pos = 0
+    for i, t in zip(counts, chunk_times):
+        times[pos:pos + i] = t
+        pos += i
+    if pos < len(times):
+        times[pos] = chunk_times[-1]
+    updates["times"] = jnp.asarray(times)
+
+    return last._replace(
+        num_iterations=jnp.asarray(total, jnp.int32),
+        status=jnp.asarray(final_status, jnp.int32),
+        **updates)
+
+
+def drive(solver, problem, x0, params, data=None, *,
+          user_function=None, chunk_iterations: Optional[int] = None,
+          observer: Optional[Callable[..., None]] = None,
+          checkpoint_path: Optional[str] = None):
+    """Run ``solver.solve`` in host-driven chunks.
+
+    - ``solver``: one of the solver modules ``gradient_descent`` / ``tnt`` /
+      ``tnls`` / ``proximal_gradient`` (for ADMM use :func:`drive_admm`).
+    - Honors ``params.max_computation_time`` (checked between chunks; status
+      becomes the solver's ElapsedTime code, reference ``TNT.h:447-451``),
+      ``params.verbose`` (per-iteration lines printed per chunk, reference
+      ``TNT.h:464-471``), and fills ``result.times``.
+    - ``observer(total_iters, chunk_result, elapsed)`` is the host-side analog
+      of the reference's void user functions (observation only).
+    - ``checkpoint_path``: if given, the warm-start state is serialized after
+      every chunk (crash-resumable long solves).
+    - ``chunk_iterations``: dispatch granularity; defaults to 1 when verbose,
+      else max_iterations/10.
+
+    Returns the same result type as ``solver.solve``, with stitched traces
+    identical to a monolithic run.
+    """
+    adapter = _adapter_for(solver, problem, params, data, user_function)
+    return _drive(adapter, params, chunk_iterations, observer,
+                  checkpoint_path, x0)
+
+
+def drive_admm(problem, c, x0, y0, params, data=None, *,
+               chunk_iterations: Optional[int] = None,
+               observer: Optional[Callable[..., None]] = None,
+               checkpoint_path: Optional[str] = None):
+    """Host-chunked ADMM (see :func:`drive`).  Resumes via the solver's
+    ``warm_start`` seam, so acceleration/penalty state carries exactly."""
+    from ..core.types import ADMMStatus as S
+    from ..solvers import admm
+
+    verbose = params.verbose
+    if chunk_iterations is None:
+        chunk_iterations = 1 if verbose else max(1, params.max_iterations // 10)
+
+    start = time.monotonic()
+    results, counts, chunk_times = [], [], []
+    x, y, ws = x0, y0, None
+    done = 0
+    final_status = None
+
+    while True:
+        n = min(chunk_iterations, params.max_iterations - done)
+        if n <= 0:
+            final_status = S.ITERATION_LIMIT.value
+            break
+        p = dataclasses.replace(params, max_iterations=n)
+        r = admm.solve(problem, c, x, y, p, data, warm_start=ws)
+        jax.block_until_ready(r.x)
+        t = time.monotonic() - start
+        i = int(r.num_iterations)
+        results.append(r)
+        counts.append(i)
+        chunk_times.append(t)
+        x, ws = r.x, r.warm_start
+        y = ws[2]["y_prev"]  # the internal (plain) y
+
+        if verbose:
+            for j in range(i):
+                print(f"Iter: {done + j:4d}  "
+                      f"|r|: {r.primal_residuals[j]:.{params.precision}e}  "
+                      f"|s|: {r.dual_residuals[j]:.{params.precision}e}  "
+                      f"rho: {r.penalty_parameters[j]:.{params.precision}e}"
+                      f"  time: {t:.3f}", flush=True)
+        if observer is not None:
+            observer(done + i, r, t)
+        if checkpoint_path is not None:
+            from .checkpoint import save_pytree
+            save_pytree(checkpoint_path, (x, y, ws))
+
+        done += i
+        if int(r.status) != S.ITERATION_LIMIT.value:
+            final_status = int(r.status)
+            break
+        if t > params.max_computation_time:
+            final_status = S.ELAPSED_TIME.value
+            break
+        if done >= params.max_iterations:
+            final_status = S.ITERATION_LIMIT.value
+            break
+
+    last = results[-1]
+    updates = {}
+    for f in ("primal_residuals", "dual_residuals", "m_k",
+              "penalty_parameters", "iteration_types"):
+        updates[f] = _stitch(results, counts, f, "step",
+                             params.max_iterations, False)
+    times = np.full((params.max_iterations,), np.nan, np.float32)
+    pos = 0
+    for i, t in zip(counts, chunk_times):
+        times[pos:pos + i] = t
+        pos += i
+    updates["times"] = jnp.asarray(times)
+
+    return last._replace(
+        num_iterations=jnp.asarray(done, jnp.int32),
+        status=jnp.asarray(final_status, jnp.int32),
+        **updates)

@@ -1,0 +1,23 @@
+"""Pallas TPU kernels for the solver hot loops (SURVEY.md section 7.2, M6).
+
+The reference's hot loops spend their time in three places (SURVEY.md
+section 3): the STPCG/LSQR inner-product reductions, the LOBPCG block
+Gram-matrix formation, and user operator applications.  XLA already fuses
+most elementwise work into those; these kernels capture the remaining
+HBM-bandwidth wins by fusing *multiple* reductions over the same operands
+into a single memory pass:
+
+- :func:`cg_dots` — the four STPCG per-iteration inner products in one read
+  of (p, Hp, r);
+- :func:`gram_pair` — ``S'(AS)`` and ``S'(BS)`` sharing one read of ``S``
+  (the LOBPCG Rayleigh-Ritz Gram stage, reference ``LOBPCG.h:271-272``);
+- :func:`diag_stencil_matvec` — a fused ``diag(d) + tridiagonal-stencil``
+  SPD matvec (the benchmark Hv operator) at speed-of-light HBM traffic.
+
+Every kernel transparently falls back to interpret mode off-TPU, so the same
+code path is unit-tested on CPU and compiled on hardware.
+"""
+
+from .fused import cg_dots, diag_stencil_matvec, gram_pair, on_tpu
+
+__all__ = ["cg_dots", "diag_stencil_matvec", "gram_pair", "on_tpu"]

@@ -156,9 +156,16 @@ def stpcg(
         p_norm2 = inner(st.p, st.p)
         in_kernel = jnp.sqrt(Hp_norm2) < epsilon * jnp.sqrt(p_norm2)
 
-        # Descent alignment of the kernel direction (IterativeSolvers.h:320-326)
+        # Descent alignment of the kernel direction.  The model gradient at
+        # s is the residual r = H s + g, so walking +p decreases the model iff
+        # <p, r> < 0; flip p when <p, r> > 0.  NB deviation (adjudicated): the
+        # reference flips when <p, r> < 0 (``IterativeSolvers.h:320-326``),
+        # which contradicts its own stated intent ("ensure that it's a
+        # direction of descent") and walks the model *uphill* whenever the
+        # search direction lies in ker(H) — e.g. TNT from a point where the
+        # Riemannian Hessian vanishes.  We implement the correct sign.
         pr = inner(st.p, st.r)
-        sign = jnp.where(in_kernel & (pr < 0), -jnp.ones((), dtype),
+        sign = jnp.where(in_kernel & (pr > 0), -jnp.ones((), dtype),
                          jnp.ones((), dtype))
         sk_M_pk_eff = sign * st.sk_M_pk
 

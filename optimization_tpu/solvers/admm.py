@@ -115,6 +115,12 @@ class ADMMResult(NamedTuple):
     m_k: jnp.ndarray
     penalty_parameters: jnp.ndarray
     iteration_types: jnp.ndarray   # ADMMIterationType codes
+    # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
+    # filled by the host-chunked driver (core/driver.py).
+    times: Optional[jnp.ndarray] = None
+    # Full internal loop state; pass back as ``warm_start=`` to resume the
+    # iteration (including acceleration history) exactly.
+    warm_start: Optional[tuple] = None
 
 
 class _State(NamedTuple):
@@ -147,14 +153,19 @@ def solve(
     y0: Any,
     params: ADMMParams = ADMMParams(),
     data: Any = None,
+    warm_start: Optional[tuple] = None,
 ) -> ADMMResult:
+    """``warm_start`` is a ``result.warm_start`` tuple from a previous solve:
+    resumes the loop state (dual variable, penalty, acceleration history)
+    exactly (the seam used by the host-chunked driver, core/driver.py)."""
     params.validate()
-    return _solve(problem, params, c, x0, y0, data)
+    return _solve(problem, params, c, x0, y0, data, warm_start)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _solve(problem: ADMMProblem, params: ADMMParams,
-           c: Any, x0: Any, y0: Any, data: Any) -> ADMMResult:
+           c: Any, x0: Any, y0: Any, data: Any,
+           warm_start) -> ADMMResult:
     accelerated = params.mode == ADMMMode.ACCELERATED
     balance = (params.penalty_adaptation_mode
                == ADMMPenaltyAdaptation.RESIDUAL_BALANCE)
@@ -169,24 +180,26 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     # --- initialization (reference ADMM.h:338-360) ---
-    rho0 = jnp.asarray(params.rho, dtype)
-    Ax0 = A(x0)
-    By0 = B(y0)
-    r0 = tree_sub(tree_axpy(1.0, Ax0, By0), c)
-    lam0 = jax.tree_util.tree_map(lambda l: rho0 * l, r0)
+    if warm_start is None:
+        rho0 = jnp.asarray(params.rho, dtype)
+        Ax0 = A(x0)
+        By0 = B(y0)
+        r0 = tree_sub(tree_axpy(1.0, Ax0, By0), c)
+        lam0 = jax.tree_util.tree_map(lambda l: rho0 * l, r0)
+        carry0 = dict(
+            y_prev=y0, By_prev=By0, y_hat=y0, lam_hat=lam0, lam_prev=lam0,
+            alpha=jnp.ones((), dtype), m_prev=big, dual_residual=big,
+            iteration_type=jnp.asarray(
+                (ADMMIterationType.RESTART if accelerated
+                 else ADMMIterationType.STANDARD).value, jnp.int32))
+    else:
+        lam0, rho0, carry0 = warm_start
 
     nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
         x=x0, y=y0, lam=lam0, rho=rho0,
-        y_prev=y0, By_prev=By0,
-        y_hat=y0, lam_hat=lam0, lam_prev=lam0,
-        alpha=jnp.ones((), dtype),
-        m_prev=big,
-        dual_residual=big,
-        iteration_type=jnp.asarray(
-            (ADMMIterationType.RESTART if accelerated
-             else ADMMIterationType.STANDARD).value, jnp.int32),
+        **carry0,
         status=jnp.asarray(ADMMStatus.RUNNING.value, jnp.int32),
         primal_residuals=nan_trace,
         dual_residuals=nan_trace,
@@ -310,6 +323,11 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
                        ADMMStatus.ITERATION_LIMIT.value,
                        st.status).astype(jnp.int32)
 
+    carry_out = dict(
+        y_prev=st.y_prev, By_prev=st.By_prev, y_hat=st.y_hat,
+        lam_hat=st.lam_hat, lam_prev=st.lam_prev, alpha=st.alpha,
+        m_prev=st.m_prev, dual_residual=st.dual_residual,
+        iteration_type=st.iteration_type)
     return ADMMResult(
         x=st.x,
         y=st.y_hat if accelerated else st.y,
@@ -320,4 +338,6 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         m_k=st.m_trace,
         penalty_parameters=st.penalty_parameters,
         iteration_types=st.iteration_types,
+        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        warm_start=(st.lam, st.rho, carry_out),
     )

@@ -66,6 +66,8 @@ class GradientDescentResult(NamedTuple):
     gradient_norms: jnp.ndarray
     update_step_norms: jnp.ndarray       # per completed iteration
     linesearch_iterations: jnp.ndarray   # per completed iteration
+    times: jnp.ndarray                   # wall-clock seconds (NaN unless the
+    # host clock is enabled via log_times / verbose / max_computation_time)
     iterates: Optional[Any] = None       # only when params.log_iterates
 
 
@@ -89,7 +91,14 @@ def solve(
     params: GradientDescentParams = GradientDescentParams(),
     data: Any = None,
 ) -> GradientDescentResult:
-    """Minimize ``problem`` from ``x0``.  Fully jitted; vmappable over batches."""
+    """Minimize ``problem`` from ``x0``.  Fully jitted; vmappable over batches.
+
+    For wall-clock limits (``max_computation_time``), per-iteration verbose
+    output, ``result.times``, and host observers, run through
+    :func:`optimization_tpu.core.driver.drive` — host facilities cannot live
+    inside a compiled loop (and the TPU runtime used in production does not
+    support host callbacks at all).
+    """
     params.validate()
     return _solve(problem, params, x0, data)
 
@@ -225,5 +234,6 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         gradient_norms=st.gradient_norms,
         update_step_norms=st.update_step_norms,
         linesearch_iterations=st.linesearch_iterations,
+        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
         iterates=st.iterates,
     )

@@ -75,6 +75,12 @@ class ProximalGradientResult(NamedTuple):
     objective_values: jnp.ndarray
     composite_gradient_norms: jnp.ndarray
     relative_composite_gradient_norms: jnp.ndarray
+    # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
+    # filled by the host-chunked driver (core/driver.py).
+    times: Optional[jnp.ndarray] = None
+    # (x_prev, y, t_prev, lam): pass back as ``warm_start=`` to resume the
+    # momentum sequence exactly (used by the host-chunked driver).
+    warm_start: Optional[tuple] = None
     iterates: Optional[Any] = None
 
 
@@ -99,14 +105,18 @@ def solve(
     x0: Any,
     params: ProximalGradientParams = ProximalGradientParams(),
     data: Any = None,
+    warm_start: Optional[tuple] = None,
 ) -> ProximalGradientResult:
+    """``warm_start`` is a ``result.warm_start`` tuple from a previous solve:
+    resumes the FISTA momentum sequence and stepsize exactly (the seam used by
+    the host-chunked driver, core/driver.py)."""
     params.validate()
-    return _solve(problem, params, x0, data)
+    return _solve(problem, params, x0, data, warm_start)
 
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _solve(problem: CompositeProblem, params: ProximalGradientParams,
-           x0: Any, data: Any) -> ProximalGradientResult:
+           x0: Any, data: Any, warm_start) -> ProximalGradientResult:
     n_trace = params.max_iterations
     accelerated = params.mode == ProximalGradientMode.ACCELERATED
 
@@ -117,12 +127,19 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
         if params.log_iterates else None)
 
+    if warm_start is None:
+        x_prev0, y0 = x0, x0
+        t0 = jnp.ones((), dtype)
+        lam0 = jnp.asarray(1.0 / params.L, dtype)
+    else:
+        x_prev0, y0, t0, lam0 = warm_start
+
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
-        x=x0, x_prev=x0, y=x0,
+        x=x0, x_prev=x_prev0, y=y0,
         F_x=F0, F_prev=F0,
-        lam=jnp.asarray(1.0 / params.L, dtype),
-        t_prev=jnp.ones((), dtype),
+        lam=lam0,
+        t_prev=t0,
         status=jnp.asarray(ProximalGradientStatus.RUNNING.value, jnp.int32),
         objective_values=nan_trace,
         composite_gradient_norms=nan_trace,
@@ -256,5 +273,7 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
         composite_gradient_norms=st.composite_gradient_norms,
         relative_composite_gradient_norms=(
             st.relative_composite_gradient_norms),
+        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        warm_start=(st.x_prev, st.y, st.t_prev, st.lam),
         iterates=st.iterates,
     )

@@ -94,6 +94,9 @@ class TNLSResult(NamedTuple):
     inner_iterations: jnp.ndarray
     update_step_norms: jnp.ndarray
     rho: jnp.ndarray
+    # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
+    # filled by the host-chunked driver (core/driver.py).
+    times: Optional[jnp.ndarray] = None
     iterates: Optional[Any] = None
 
 
@@ -121,20 +124,24 @@ def solve(
     params: TNLSParams = TNLSParams(),
     data: Any = None,
     user_function: Optional[Callable[..., jnp.ndarray]] = None,
+    Delta0=None,
 ) -> TNLSResult:
     """Minimize |F(x)| from ``x0``.
 
     ``user_function(k, x, Fx, Delta, inner_iters, h, dL, rho, accepted) ->
     bool`` is an optional pure stopping predicate (jittable analog of
     ``TNLSUserFunction``, reference ``TNLS.h:95-102,604-613``).
+
+    ``Delta0`` optionally overrides ``params.Delta0`` with a traced scalar
+    (warm-start seam for the host-chunked driver, core/driver.py).
     """
     params.validate()
-    return _solve(problem, params, user_function, x0, data)
+    return _solve(problem, params, user_function, x0, data, Delta0)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _solve(problem: LeastSquaresProblem, params: TNLSParams,
-           user_function, x0: Any, data: Any) -> TNLSResult:
+           user_function, x0: Any, data: Any, Delta0) -> TNLSResult:
     M = problem.manifold
     n_trace = params.max_iterations + 1
     n_step = params.max_iterations
@@ -164,7 +171,7 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
         x=x0, Fx=Fx0, Fx_norm=Fn0, Fx_sq=Fx_sq0, gradL_norm=gln0,
-        Delta=jnp.asarray(params.Delta0, dtype),
+        Delta=jnp.asarray(params.Delta0 if Delta0 is None else Delta0, dtype),
         status=jnp.asarray(TNLSStatus.RUNNING.value, jnp.int32),
         objective_values=nan_trace,
         gradient_norms=nan_trace,
@@ -309,5 +316,6 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
         inner_iterations=st.inner_iterations,
         update_step_norms=st.update_step_norms,
         rho=st.rho,
+        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
         iterates=st.iterates,
     )

@@ -102,6 +102,9 @@ class TNTResult(NamedTuple):
     update_step_norms: jnp.ndarray
     update_step_M_norms: jnp.ndarray
     gain_ratios: jnp.ndarray
+    # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
+    # filled by the host-chunked driver (core/driver.py) — see core/host.py.
+    times: Optional[jnp.ndarray] = None
     iterates: Optional[Any] = None
 
 
@@ -131,6 +134,7 @@ def solve(
     params: TNTParams = TNTParams(),
     data: Any = None,
     user_function: Optional[Callable[..., jnp.ndarray]] = None,
+    Delta0=None,
 ) -> TNTResult:
     """Minimize ``problem`` from ``x0`` by truncated-Newton trust region.
 
@@ -138,14 +142,18 @@ def solve(
     -> bool`` is an optional pure stopping predicate called once per outer
     iteration before the update is applied (jittable analog of
     ``TNTUserFunction``, reference ``TNT.h:64-71,545-552``).
+
+    ``Delta0`` optionally overrides ``params.Delta0`` with a *traced* scalar —
+    the warm-start seam used by the host-chunked driver (core/driver.py) to
+    resume a solve without recompiling.
     """
     params.validate()
-    return _solve(problem, params, user_function, x0, data)
+    return _solve(problem, params, user_function, x0, data, Delta0)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _solve(problem: RiemannianProblem, params: TNTParams,
-           user_function, x0: Any, data: Any) -> TNTResult:
+           user_function, x0: Any, data: Any, Delta0) -> TNTResult:
     M = problem.manifold
     n_trace = params.max_iterations + 1
     n_step = params.max_iterations
@@ -174,7 +182,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
         x=x0, f=f0, grad=g0, gradnorm=gn0, pgradnorm=pgn0,
-        Delta=jnp.asarray(params.Delta0, dtype),
+        Delta=jnp.asarray(params.Delta0 if Delta0 is None else Delta0, dtype),
         status=jnp.asarray(TNTStatus.RUNNING.value, jnp.int32),
         objective_values=nan_trace,
         gradient_norms=nan_trace,
@@ -323,5 +331,6 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         update_step_norms=st.update_step_norms,
         update_step_M_norms=st.update_step_M_norms,
         gain_ratios=st.gain_ratios,
+        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
         iterates=st.iterates,
     )

@@ -1,0 +1,183 @@
+"""Host-chunked driver: exactness of resume, wall-clock stop, times/verbose.
+
+The reference checks the wall clock and prints at the top of every iteration
+(``TNT.h:447-471``); the TPU-native equivalent is host-chunked stepping
+(core/driver.py).  These tests pin the driver's central claim: a chunked run
+visits exactly the iterates of a monolithic run.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optimization_tpu import RiemannianProblem, CompositeProblem
+from optimization_tpu.core import driver
+from optimization_tpu.core.types import (GradientDescentStatus, TNTStatus,
+                                         ProximalGradientStatus, ADMMStatus)
+from optimization_tpu.manifolds import sphere
+from optimization_tpu.solvers import (admm, gradient_descent, prox,
+                                      proximal_gradient, tnt)
+
+
+def rosenbrock(x, data):
+    return (1.0 - x[0]) ** 2 + 100.0 * (x[1] - x[0] ** 2) ** 2
+
+
+X0 = jnp.array([-0.5, 0.5])
+
+
+class TestChunkedEqualsMonolithic:
+    def test_gradient_descent(self):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=200, gradient_tolerance=1e-6,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0)
+        mono = gradient_descent.solve(problem, X0, params)
+        chunked = driver.drive(gradient_descent, problem, X0, params,
+                               chunk_iterations=17)
+        assert int(chunked.num_iterations) == int(mono.num_iterations)
+        assert int(chunked.status) == int(mono.status)
+        np.testing.assert_allclose(chunked.x, mono.x, rtol=0, atol=0)
+        np.testing.assert_allclose(chunked.objective_values,
+                                   mono.objective_values, equal_nan=True)
+        np.testing.assert_allclose(chunked.gradient_norms,
+                                   mono.gradient_norms, equal_nan=True)
+        # chunk-end timestamps recorded for every completed iteration
+        n = int(chunked.num_iterations)
+        assert np.all(np.isfinite(np.asarray(chunked.times)[:n]))
+
+    def test_tnt_delta_carry(self):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = tnt.TNTParams(
+            max_iterations=100, gradient_tolerance=1e-9,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+        mono = tnt.solve(problem, X0, params)
+        chunked = driver.drive(tnt, problem, X0, params, chunk_iterations=7)
+        assert int(chunked.num_iterations) == int(mono.num_iterations)
+        assert int(chunked.status) == int(mono.status) == TNTStatus.GRADIENT
+        np.testing.assert_array_equal(np.asarray(chunked.x),
+                                      np.asarray(mono.x))
+        np.testing.assert_allclose(chunked.trust_region_radius,
+                                   mono.trust_region_radius, equal_nan=True)
+        np.testing.assert_allclose(chunked.gain_ratios, mono.gain_ratios,
+                                   equal_nan=True)
+
+    def test_tnt_sphere_log_iterates(self):
+        P = jnp.array([0.0, 0.0, 1.0])
+        problem = RiemannianProblem(
+            f=lambda x, d: jnp.sum((x - P) ** 2), manifold=sphere())
+        params = tnt.TNTParams(max_iterations=50, gradient_tolerance=1e-8,
+                               relative_decrease_tolerance=0.0,
+                               stepsize_tolerance=0.0,
+                               preconditioned_gradient_tolerance=0.0,
+                               log_iterates=True)
+        x0 = jnp.array([1.0, 0.0, 0.0])
+        mono = tnt.solve(problem, x0, params)
+        chunked = driver.drive(tnt, problem, x0, params, chunk_iterations=3)
+        n = int(mono.num_iterations)
+        np.testing.assert_array_equal(
+            np.asarray(chunked.iterates)[:n + 1],
+            np.asarray(mono.iterates)[:n + 1])
+
+    def test_proximal_gradient_momentum_carry(self):
+        # LASSO keeps FISTA momentum/restart active across chunk boundaries
+        A = jnp.array([[3.0, 0.5], [0.5, 1.0], [0.2, -0.7]])
+        b = jnp.array([1.0, -2.0, 0.5])
+        mu = 0.1
+        problem = CompositeProblem(
+            f=lambda x, d: 0.5 * jnp.sum((A @ x - b) ** 2),
+            g=lambda x, d: mu * jnp.sum(jnp.abs(x)),
+            prox_g=lambda x, lam, d: prox.soft_threshold(x, lam * mu))
+        params = proximal_gradient.ProximalGradientParams(
+            max_iterations=300, composite_gradient_tolerance=1e-8,
+            relative_composite_gradient_tolerance=1e-8)
+        mono = proximal_gradient.solve(problem, X0, params)
+        chunked = driver.drive(proximal_gradient, problem, X0, params,
+                               chunk_iterations=11)
+        assert int(chunked.num_iterations) == int(mono.num_iterations)
+        np.testing.assert_array_equal(np.asarray(chunked.x),
+                                      np.asarray(mono.x))
+        np.testing.assert_allclose(chunked.objective_values,
+                                   mono.objective_values, equal_nan=True)
+
+    def test_admm_warm_start_carry(self):
+        # Accelerated LASSO ADMM: acceleration + penalty history must carry
+        key_A = jnp.array([[2.0, 0.3], [0.1, 1.5], [0.4, -0.2]])
+        b = jnp.array([1.0, 0.5, -0.3])
+        mu = 0.05
+        AtA = key_A.T @ key_A
+        Atb = key_A.T @ b
+
+        def minLx(y, lam, rho, data):
+            M = AtA + rho * jnp.eye(2)
+            return jnp.linalg.solve(M, Atb + rho * y - lam)
+
+        def minLy(x, lam, rho, data):
+            return prox.soft_threshold(x + lam / rho, mu / rho)
+
+        problem = admm.ADMMProblem(
+            minLx=minLx, minLy=minLy,
+            A=lambda x, d: x, B=lambda y, d: -y, At=lambda r, d: r)
+        params = admm.ADMMParams(
+            max_iterations=150, mode=admm.ADMMMode.ACCELERATED,
+            eps_abs_pri=1e-7, eps_abs_dual=1e-7, eps_rel=1e-8)
+        c = jnp.zeros(2)
+        mono = admm.solve(problem, c, X0, X0, params)
+        chunked = driver.drive_admm(problem, c, X0, X0, params,
+                                    chunk_iterations=13)
+        assert int(chunked.num_iterations) == int(mono.num_iterations)
+        np.testing.assert_array_equal(np.asarray(chunked.x),
+                                      np.asarray(mono.x))
+        np.testing.assert_allclose(chunked.primal_residuals,
+                                   mono.primal_residuals, equal_nan=True)
+        np.testing.assert_allclose(chunked.iteration_types,
+                                   mono.iteration_types)
+
+
+class TestHostFacilities:
+    def test_elapsed_time_status(self):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=10**6, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            max_computation_time=0.05)
+        r = driver.drive(gradient_descent, problem, X0, params,
+                         chunk_iterations=50)
+        assert int(r.status) == GradientDescentStatus.ELAPSED_TIME
+        assert 0 < int(r.num_iterations) < 10**6
+
+    def test_verbose_prints(self, capsys):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=3, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            verbose=True, precision=4)
+        driver.drive(gradient_descent, problem, X0, params)
+        out = capsys.readouterr().out
+        assert out.count("Iter:") == 3
+        assert "|g|:" in out
+
+    def test_observer_called_per_chunk(self):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=20, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0)
+        seen = []
+        driver.drive(gradient_descent, problem, X0, params,
+                     chunk_iterations=5,
+                     observer=lambda k, r, t: seen.append(k))
+        assert seen == [5, 10, 15, 20]
+
+    def test_checkpoint_written(self, tmp_path):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = tnt.TNTParams(max_iterations=10, gradient_tolerance=0.0,
+                               relative_decrease_tolerance=0.0,
+                               stepsize_tolerance=0.0,
+                               preconditioned_gradient_tolerance=0.0)
+        path = str(tmp_path / "ckpt.npz")
+        r = driver.drive(tnt, problem, X0, params, chunk_iterations=5,
+                         checkpoint_path=path)
+        from optimization_tpu.core.checkpoint import load_pytree
+        x, Delta = load_pytree(path, (r.x, jnp.zeros(())))
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(r.x))

@@ -200,3 +200,38 @@ def test_param_validation():
         stpcg(small_g, diag_op(small_P), inner, 1.0, kappa_fgr=1.5)
     with pytest.raises(ValueError):
         stpcg(small_g, diag_op(small_P), inner, 1.0, theta=-0.1)
+
+
+def test_kernel_of_H_walks_descent_to_boundary():
+    """H = 0: the search direction lies in ker(H); the step must walk the
+    *descent* direction -g to the trust-region boundary.
+
+    NB: the reference's sign flip (IterativeSolvers.h:320-326) is inverted —
+    it walks the model uphill in this regime; we implement the correct
+    descent alignment (see stpcg.py).
+    """
+    g = jnp.array([3.0, -4.0, 0.0])
+    Delta = 0.7
+    res = stpcg(g, lambda v: jnp.zeros_like(v), inner, Delta,
+                max_iterations=10)
+    expected = -Delta * g / jnp.linalg.norm(g)
+    np.testing.assert_allclose(np.asarray(res.s), np.asarray(expected),
+                               atol=1e-12)
+    assert float(res.update_step_M_norm) == Delta
+    # The step decreases the model m(s) = <g, s>
+    assert float(jnp.dot(g, res.s)) < 0
+
+
+def test_kernel_direction_after_progress():
+    """Kernel escape on a later iteration: H is PSD with a kernel; once CG
+    exhausts the range-space component the kernel direction must still be
+    walked downhill."""
+    # H = diag(1, 1, 0); g has a component in ker(H)
+    H = jnp.array([1.0, 1.0, 0.0])
+    g = jnp.array([1.0, 2.0, 0.5])
+    Delta = 10.0
+    res = stpcg(g, diag_op(H), inner, Delta, max_iterations=10,
+                kappa_fgr=1e-10, theta=0.999)
+    m = float(jnp.dot(g, res.s) + 0.5 * jnp.dot(res.s, H * res.s))
+    assert m < 0  # model strictly decreased
+    assert abs(float(jnp.sqrt(jnp.dot(res.s, res.s))) - Delta) < 1e-6

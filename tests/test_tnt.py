@@ -123,3 +123,21 @@ def test_tnt_traces():
     assert (np.diff(obj) <= 1e-15).all()
     # Trust-region trace recorded
     assert np.isfinite(np.asarray(res.trust_region_radius[: n + 1])).all()
+
+
+def test_tnt_sphere_zero_hessian_start():
+    """Regression: at x0 = e1 with target P = e3 the Riemannian Hessian of
+    |x - P|^2 on S^2 vanishes identically, so the first STPCG search
+    direction lies in ker(H).  The kernel escape must walk *downhill*
+    (the reference's inverted sign walks to f = 2 + sqrt(2); see stpcg.py).
+    """
+    P = jnp.array([0.0, 0.0, 1.0])
+    problem = RiemannianProblem(f=lambda x, d: jnp.sum((x - d) ** 2),
+                                manifold=sphere())
+    params = tnt.TNTParams(max_iterations=100, gradient_tolerance=1e-8,
+                           relative_decrease_tolerance=0.0,
+                           stepsize_tolerance=0.0,
+                           preconditioned_gradient_tolerance=0.0)
+    res = tnt.solve(problem, jnp.array([1.0, 0.0, 0.0]), params, data=P)
+    assert int(res.status) == TNTStatus.GRADIENT
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(P), atol=1e-6)
