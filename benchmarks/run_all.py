@@ -1,0 +1,33 @@
+"""Run every benchmark config; one JSON line each (BASELINE.md configs 1-5).
+
+Usage:  python benchmarks/run_all.py [--quick]
+"""
+
+import runpy
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+CONFIGS = [
+    "config1_gd_rosenbrock",
+    "config2_tnt_rayleigh",
+    "config3_lobpcg",
+    "config4_lasso",
+    "config5_rotation_sync",
+]
+
+
+def main():
+    for name in CONFIGS:
+        print(f"# {name}", file=sys.stderr, flush=True)
+        try:
+            runpy.run_module(name, run_name="__main__")
+        except Exception as e:  # keep going; a failed config prints an error line
+            print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

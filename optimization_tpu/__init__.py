@@ -10,7 +10,7 @@ fully-jitted ``lax.while_loop`` programs over PyTree variables, vmappable over
 problem batches and shardable over TPU meshes.
 """
 
-from . import core, linalg, manifolds, solvers
+from . import core, io, kernels, linalg, manifolds, solvers
 from .core import driver
 from .core.host import Stopwatch
 from .core.problem import (CompositeProblem, LeastSquaresProblem,

@@ -18,6 +18,8 @@ Every kernel transparently falls back to interpret mode off-TPU, so the same
 code path is unit-tested on CPU and compiled on hardware.
 """
 
-from .fused import cg_dots, diag_stencil_matvec, gram_pair, on_tpu
+from .fused import (affine_stencil_matvec, cg_dots,
+                    diag_stencil_matvec, gram_pair, on_tpu)
 
-__all__ = ["cg_dots", "diag_stencil_matvec", "gram_pair", "on_tpu"]
+__all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
+           "gram_pair", "on_tpu"]

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["cg_dots", "diag_stencil_matvec", "gram_pair", "on_tpu"]
+__all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
+           "gram_pair", "on_tpu"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -66,7 +67,11 @@ def _cg_dots_kernel(p_ref, hp_ref, r_ref, o_ref):
 
     @pl.when(i == 0)
     def _():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        # SMEM accepts scalar stores only: initialize slot by slot
+        o_ref[0, 0] = 0.0
+        o_ref[0, 1] = 0.0
+        o_ref[0, 2] = 0.0
+        o_ref[0, 3] = 0.0
 
     p = p_ref[...].astype(jnp.float32)
     hp = hp_ref[...].astype(jnp.float32)
@@ -177,49 +182,151 @@ def gram_pair(S: jnp.ndarray, AS: jnp.ndarray, BS: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _stencil_kernel(d_ref, v_ref, up_ref, down_ref, o_ref):
-    d = d_ref[...]
-    v = v_ref[...]
-    o_ref[...] = (d + 2.0) * v - up_ref[...] - down_ref[...]
+def _neighbors(B, first, last):
+    """Flat +-1 neighbors of a (BR, 128) row-major block view, built entirely
+    in VMEM: lane shifts with row carry; ``first``/``last`` are the adjacent
+    blocks' boundary elements."""
+    br = B.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, B.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+
+    # up[i] = v[i+1]: lanes left by one; lane 127 takes the next row's lane 0,
+    # whose final row comes from the next block's first element.  Slice the
+    # carry column *before* rolling so the row-roll is (br, 1), not (br, 128).
+    up = pltpu.roll(B, _LANES - 1, 1)  # left by 1 == right by size-1
+    col_next = pltpu.roll(B[:, 0:1], br - 1, 0)
+    col_next = jnp.where(row == br - 1, first, col_next)
+    up = jnp.where(lane == _LANES - 1, col_next, up)
+
+    # down[i] = v[i-1]: lanes right by one; lane 0 takes the previous row's
+    # lane 127, whose first row comes from the previous block's last element.
+    down = pltpu.roll(B, 1, 1)
+    col_prev = pltpu.roll(B[:, _LANES - 1:_LANES], 1, 0)
+    col_prev = jnp.where(row == 0, last, col_prev)
+    down = jnp.where(lane == 0, col_prev, down)
+    return up, down
 
 
-@jax.jit
-def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """``(diag(d) + 2 I - S - S') v`` where S is the unit shift: the fused
-    SPD "diag + 3-point stencil" operator of the benchmark Hv.
+def _stencil_kernel(first_ref, last_ref, d_ref, v_ref, o_ref, *, scale):
+    i = pl.program_id(0)
+    B = v_ref[...]
+    up, down = _neighbors(B, first_ref[i], last_ref[i])
+    o_ref[...] = ((d_ref[...] + 2.0) * B - up - down) * scale
 
-    One pass: reads d and v (the shifted reads hit the same cached v tiles),
-    writes the product — 3 n words of HBM traffic, the roofline minimum.
+
+def _affine_stencil_kernel(first_ref, last_ref, v_ref, o_ref, *,
+                           a, b, scale, block_rows):
+    # d[g] = a + b*g generated on the VPU from the global flat index — the
+    # matrix-free variant: HBM traffic is exactly read-v + write-out (2n).
+    # The flat index g = (i*BR + row)*128 + lane separates into a (br, 1) row
+    # part and a (1, 128) lane part, so the only full-width index op is one
+    # broadcast add (the kernel is VPU-bound; full-width iotas are costly).
+    i = pl.program_id(0)
+    B = v_ref[...]
+    br = B.shape[0]
+    up, down = _neighbors(B, first_ref[i], last_ref[i])
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, 1), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    d_row = (a + 2.0) + b * ((i * block_rows + row) * _LANES).astype(B.dtype)
+    d = d_row + b * lane.astype(B.dtype)  # == d + 2, broadcast to (br, 128)
+    o_ref[...] = (d * B - up - down) * scale
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_rows"))
+def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray, *,
+                        scale: float = 1.0,
+                        block_rows: int = 1024) -> jnp.ndarray:
+    """``scale * (diag(d) + 2 I - S - S') v`` where S is the unit shift: the
+    fused SPD "diag + 3-point stencil" operator of the benchmark Hv.
+
+    One pass: reads d and v, writes the product — 3n words of HBM traffic,
+    the roofline minimum.  Cross-block halo elements travel through two tiny
+    side arrays (one scalar per block), not extra passes over v.
     """
     n = v.shape[0]
-    up = jnp.concatenate([v[1:], jnp.zeros((1,), v.dtype)])
-    down = jnp.concatenate([jnp.zeros((1,), v.dtype), v[:-1]])
-
     rows = max(_SUBLANES, -(-n // _LANES))
     d2 = _as_tiles(d, rows)
     v2 = _as_tiles(v, rows)
-    up2 = _as_tiles(up, rows)
-    down2 = _as_tiles(down, rows)
 
-    block_rows = min(1024, d2.shape[0])
-    # Grid must tile exactly: pad rows to a multiple of block_rows
     total = d2.shape[0]
+    block_rows = min(block_rows, total)
     rem = (-total) % block_rows
     if rem:
         z = jnp.zeros((rem, _LANES), v.dtype)
-        d2, v2, up2, down2 = (jnp.concatenate([a, z]) for a in
-                              (d2, v2, up2, down2))
+        d2, v2 = jnp.concatenate([d2, z]), jnp.concatenate([v2, z])
         total += rem
     grid = total // block_rows
+    C = block_rows * _LANES  # elements per block
+
+    vf = v2.reshape(-1)
+    # firsts[b] = first element of block b+1; lasts[b] = last of block b-1
+    starts = jnp.arange(1, grid + 1) * C
+    firsts = jnp.where(starts < total * _LANES, vf[starts % (total * _LANES)],
+                       0.0).astype(v.dtype)
+    ends = jnp.arange(0, grid) * C - 1
+    lasts = jnp.where(ends >= 0, vf[ends], 0.0).astype(v.dtype)
 
     spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    # Whole boundary arrays resident in SMEM; indexed by program_id in-kernel
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
-        _stencil_kernel,
+        functools.partial(_stencil_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((total, _LANES), v.dtype),
         grid=(grid,),
-        in_specs=[spec, spec, spec, spec],
+        in_specs=[scalar_spec, scalar_spec, spec, spec],
         out_specs=spec,
         interpret=_interpret(),
-    )(d2, v2, up2, down2)
+    )(firsts, lasts, d2, v2)
+    return out.reshape(-1)[:n]
+
+
+def _boundaries(v2, grid, C, total, dtype):
+    """firsts[b] = first element of block b+1; lasts[b] = last of block b-1
+    (zero at the edges) — the cross-block stencil halo as two tiny arrays."""
+    vf = v2.reshape(-1)
+    starts = jnp.arange(1, grid + 1) * C
+    firsts = jnp.where(starts < total * _LANES,
+                       vf[starts % (total * _LANES)], 0.0).astype(dtype)
+    ends = jnp.arange(0, grid) * C - 1
+    lasts = jnp.where(ends >= 0, vf[ends], 0.0).astype(dtype)
+    return firsts, lasts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("a", "b", "scale", "block_rows"))
+def affine_stencil_matvec(v: jnp.ndarray, *, a: float, b: float,
+                          scale: float = 1.0,
+                          block_rows: int = 2048) -> jnp.ndarray:
+    """``scale * (diag(a + b*i) + 2 I - S - S') v`` — the *matrix-free*
+    variant of :func:`diag_stencil_matvec`: the affine diagonal is generated
+    on the VPU from the flat index, so HBM traffic is exactly one read of v
+    and one write of the product (2n words — the speed-of-light pattern for
+    any SPD matvec).
+    """
+    n = v.shape[0]
+    rows = max(_SUBLANES, -(-n // _LANES))
+    v2 = _as_tiles(v, rows)
+    total = v2.shape[0]
+    block_rows = min(block_rows, total)
+    rem = (-total) % block_rows
+    if rem:
+        v2 = jnp.concatenate([v2, jnp.zeros((rem, _LANES), v.dtype)])
+        total += rem
+    grid = total // block_rows
+    C = block_rows * _LANES
+    firsts, lasts = _boundaries(v2, grid, C, total, v.dtype)
+
+    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        functools.partial(_affine_stencil_kernel, a=a, b=b, scale=scale,
+                          block_rows=block_rows),
+        out_shape=jax.ShapeDtypeStruct((total, _LANES), v.dtype),
+        grid=(grid,),
+        in_specs=[scalar_spec, scalar_spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(firsts, lasts, v2)
     return out.reshape(-1)[:n]

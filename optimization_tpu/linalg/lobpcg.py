@@ -12,11 +12,15 @@ equilibration, soft locking of the contiguous converged prefix, randomized
 **TPU-native redesign — static-shape soft locking.**  XLA requires static
 shapes, so instead of shrinking the basis (reference ``LOBPCG.h:249-264``
 keeps ``ns = 3 nx - 2 nc`` live columns), S is always (m, 3 nx) and locked
-W/P columns are *zeroed*; the Gram pencil is then repaired by writing 1 (resp.
-a large sentinel value) into the masked diagonal of S'BS (resp. S'AS).  The
-pencil decouples exactly into the active block plus trivial fake eigenpairs
-whose eigenvalues sort last, so the leading ``nx`` Ritz pairs are *bitwise the
-mathematics of the reference's shrunken basis*.  All heavy math is three
+W/P columns are *zeroed*; the Gram pencil is then repaired by writing 1
+(resp. a moderate *negative* sentinel) into the masked diagonal of S'BS
+(resp. S'AS).  The pencil decouples exactly into the active block plus
+trivial fake eigenpairs that sort first; the active Ritz pairs are read from
+the static-width window starting at the known fake count, so they are
+*bitwise the mathematics of the reference's shrunken basis*.  (Sentinels are
+kept near the active spectrum's scale: TPU's QDWH-based eigh normalizes by
+the matrix norm, so 1/eps-scale sentinels erase f32 accuracy.)  All heavy
+math is three
 (m x 3nx) block operator applications and (3nx x m)@(m x 3nx) Gram GEMMs —
 exactly the MXU-shaped kernels a TPU wants; the small (3nx)^2 eigensolve runs
 as a single fused ``eigh``.
@@ -37,30 +41,58 @@ import jax.numpy as jnp
 __all__ = ["LOBPCGResult", "lobpcg", "rayleigh_ritz"]
 
 
-def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Rayleigh-Ritz for the dense symmetric pencil (A, B), B SPD.
+def _mm(a, b):
+    """Full-precision matmul: the TPU MXU's default bf16 inputs destroy the
+    Gram pencil / Ritz rotations in f32 (verified on hardware), so every
+    precision-critical GEMM in this module pins HIGHEST precision."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
-    Returns ``(Theta, C)`` with ``C' A C = diag(Theta)`` and ``C' B C = I``,
-    eigenvalues ascending.  Equilibrates B by its diagonal first (reference
-    ``LOBPCG.h:53-62``), then reduces to a standard symmetric problem via
-    Cholesky (the same LLT route Eigen's generalized solver uses).
+
+def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Robust Rayleigh-Ritz for the dense symmetric pencil (A, B), B PSD.
+
+    Returns ``(Theta, C)`` with ``C' A C = diag(Theta)`` and ``C' B C = I``
+    on the numerically independent subspace, eigenvalues ascending.
+
+    Equilibrates B by its diagonal first (reference ``LOBPCG.h:53-62``), then
+    — instead of the reference's Cholesky route, which collapses in f32 when
+    the LOBPCG basis grows near-collinear — whitens through the
+    eigendecomposition of B with **spectral filtering** (the SVQB-style
+    robustness of Duersch-Shao-Yang-Gu): directions of B_eq with relative
+    eigenvalue below k*eps are deflated (their C columns are exactly zero and
+    their Ritz values are a large sentinel, so they sort last and are never
+    selected).  In f64 on a well-conditioned pencil this is algebraically the
+    reference computation.
     """
-    d = 1.0 / jnp.sqrt(jnp.diagonal(B))
-    A_eq = A * d[:, None] * d[None, :]
-    B_eq = B * d[:, None] * d[None, :]
-    # Tiny relative ridge (diag(B_eq) == 1 after equilibration): keeps the
-    # Cholesky factorization alive when the search basis grows near-collinear
-    # in low precision; O(eps) perturbation, invisible in f64.
-    n = B.shape[0]
-    ridge = 10.0 * n * jnp.finfo(B.dtype).eps
-    B_eq = B_eq + ridge * jnp.eye(n, dtype=B.dtype)
-    L = jnp.linalg.cholesky(B_eq)
-    Z = jax.scipy.linalg.solve_triangular(L, A_eq, lower=True)
-    Y = jax.scipy.linalg.solve_triangular(L, Z.T, lower=True)
-    Y = 0.5 * (Y + Y.T)
-    theta, U = jnp.linalg.eigh(Y)
-    C = jax.scipy.linalg.solve_triangular(L.T, U, lower=False)
-    return theta, C * d[:, None]
+    # The matmul-precision scope also covers the QDWH/Jacobi matmuls inside
+    # XLA's eigh lowering — at the TPU default (bf16 MXU inputs) the Ritz
+    # rotations come back too inaccurate to converge (verified on hardware).
+    with jax.default_matmul_precision("float32"):
+        n = B.shape[0]
+        eps = jnp.finfo(B.dtype).eps
+        bdiag = jnp.diagonal(B)
+        d = 1.0 / jnp.sqrt(jnp.maximum(bdiag, eps * jnp.max(bdiag)))
+        A_eq = A * d[:, None] * d[None, :]
+        B_eq = B * d[:, None] * d[None, :]
+        B_eq = 0.5 * (B_eq + B_eq.T)
+
+        w, Q = jnp.linalg.eigh(B_eq)
+        good = w > (n * eps) * jnp.max(w)
+        inv_sqrt_w = jnp.where(good,
+                               1.0 / jnp.sqrt(jnp.where(good, w, 1.0)), 0.0)
+        W_half = Q * inv_sqrt_w[None, :]      # whitening: W' B_eq W = I_good
+        At = _mm(_mm(W_half.T, A_eq), W_half)
+        At = 0.5 * (At + At.T)
+        # Deflated rows/cols of At are exactly zero; a sentinel diagonal
+        # decouples them and sorts their fake eigenvalues last.  The sentinel
+        # must stay within a few orders of the active spectrum: TPU's eigh
+        # (QDWH-based) normalizes by |At|, so a 1/eps-scale sentinel pushes
+        # the active eigenvalues below f32 resolution (verified on hardware).
+        big = 16.0 * jnp.max(jnp.abs(At)) + 1.0
+        At = At + jnp.diag(jnp.where(good, 0.0, big).astype(B.dtype))
+        theta, U = jnp.linalg.eigh(At)
+        C = _mm(W_half, U)
+        return theta, C * d[:, None]
 
 
 class LOBPCGResult(NamedTuple):
@@ -136,17 +168,20 @@ def lobpcg(
     B2normest = (jnp.linalg.norm(Bop(omega)) / omega_norm
                  if B is not None else jnp.ones((), dtype))
 
-    # Sentinel eigenvalue for masked (locked) basis columns: large enough to
-    # sort after every active Ritz value, small enough not to overflow.
-    big = (A2normest + B2normest) / jnp.sqrt(jnp.finfo(dtype).eps)
+    # Sentinel eigenvalue for masked (locked) basis columns: *below* every
+    # possible Ritz value of the pencil (|theta| <= ~|A| for B ~ I), so fake
+    # pairs sort first and the active window starts at the known fake count.
+    # Kept within a few orders of the active spectrum — TPU's QDWH eigh
+    # normalizes by |At|, so 1/eps-scale sentinels destroy f32 accuracy.
+    neg_sent = -(16.0 * (A2normest + B2normest) + 1.0)
 
     # --- initialization: B-orthonormalize X0 (reference LOBPCG.h:218-230) ---
     AX = A(X0)
     BX = Bop(X0)
-    theta0, C0 = rayleigh_ritz(X0.T @ AX, X0.T @ BX)
-    X = X0 @ C0
-    AX = AX @ C0
-    BX = BX @ C0
+    theta0, C0 = rayleigh_ritz(_mm(X0.T, AX), _mm(X0.T, BX))
+    X = _mm(X0, C0)
+    AX = _mm(AX, C0)
+    BX = _mm(BX, C0)
     R = AX - BX * theta0[None, :]
 
     st0 = _State(
@@ -178,27 +213,32 @@ def lobpcg(
         AS = A(S)
         BS = Bop(S)
 
-        StAS = S.T @ AS
-        StBS = S.T @ BS
+        StAS = _mm(S.T, AS)
+        StBS = _mm(S.T, BS)
 
-        # Repair the pencil on masked columns: unit B-diagonal, sentinel
-        # A-diagonal => exact decoupling, fake eigenpairs sort last.
+        # Repair the pencil on masked columns: unit B-diagonal, negative
+        # sentinel A-diagonal => exact decoupling; the fake eigenpairs sort
+        # *first*, so the active Ritz pairs occupy the static-width window
+        # starting at the (known) fake count.
         mask_s = jnp.concatenate(
             [jnp.ones((nx,), bool), w_mask, p_mask]).astype(dtype)
         off = 1.0 - mask_s
-        StAS = StAS * mask_s[:, None] * mask_s[None, :] + jnp.diag(big * off)
+        StAS = (StAS * mask_s[:, None] * mask_s[None, :]
+                + jnp.diag(neg_sent * off))
         StBS = StBS * mask_s[:, None] * mask_s[None, :] + jnp.diag(off)
 
         theta_all, C = rayleigh_ritz(StAS, StBS)
-        theta = theta_all[:nx]
-        C_x = C[:, :nx]
+        n_fake = (3 * nx - jnp.sum(mask_s)).astype(jnp.int32)
+        theta = jax.lax.dynamic_slice(theta_all, (n_fake,), (nx,))
+        C_x = jax.lax.dynamic_slice(C, (jnp.zeros((), jnp.int32), n_fake),
+                                    (3 * nx, nx))
 
-        X_new = S @ C_x
-        AX_new = AS @ C_x
-        BX_new = BS @ C_x
+        X_new = _mm(S, C_x)
+        AX_new = _mm(AS, C_x)
+        BX_new = _mm(BS, C_x)
         R_new = AX_new - BX_new * theta[None, :]
         # Implicit-difference block P (reference LOBPCG.h:288)
-        P_new = S[:, nx:] @ C_x[nx:, :]
+        P_new = _mm(S[:, nx:], C_x[nx:, :])
 
         # Convergence test (reference LOBPCG.h:292-318)
         r = jnp.linalg.norm(R_new[:, :nev], axis=0)
