@@ -19,7 +19,7 @@ code path is unit-tested on CPU and compiled on hardware.
 """
 
 from .fused import (affine_stencil_matvec, cg_dots,
-                    diag_stencil_matvec, gram_pair, on_tpu)
+                    diag_stencil_matvec, gram_pair, on_tpu, stream3_probe)
 
 __all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
-           "gram_pair", "on_tpu"]
+           "gram_pair", "on_tpu", "stream3_probe"]

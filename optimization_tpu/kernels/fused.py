@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
-           "gram_pair", "on_tpu"]
+           "gram_pair", "on_tpu", "stream3_probe"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -235,7 +235,7 @@ def _affine_stencil_kernel(first_ref, last_ref, v_ref, o_ref, *,
 @functools.partial(jax.jit, static_argnames=("scale", "block_rows"))
 def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray, *,
                         scale: float = 1.0,
-                        block_rows: int = 1024) -> jnp.ndarray:
+                        block_rows: int = 2048) -> jnp.ndarray:
     """``scale * (diag(d) + 2 I - S - S') v`` where S is the unit shift: the
     fused SPD "diag + 3-point stencil" operator of the benchmark Hv.
 
@@ -278,6 +278,42 @@ def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray, *,
         out_specs=spec,
         interpret=_interpret(),
     )(firsts, lasts, d2, v2)
+    return out.reshape(-1)[:n]
+
+
+def _copy3_kernel(d_ref, v_ref, o_ref):
+    o_ref[...] = (d_ref[...] + 2.0) * v_ref[...] * 1.0000001
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def stream3_probe(d: jnp.ndarray, v: jnp.ndarray,
+                  block_rows: int = 2048) -> jnp.ndarray:
+    """Minimal read-read-write kernel with the same stream pattern, block
+    geometry, and pipeline as :func:`diag_stencil_matvec` but no stencil
+    work — benchmarks use it to measure the *achievable* 3-stream HBM rate
+    (the roofline-model ceiling for this traffic pattern), against which the
+    real kernel's throughput is reported."""
+    n = v.shape[0]
+    rows = max(_SUBLANES, -(-n // _LANES))
+    d2 = _as_tiles(d, rows)
+    v2 = _as_tiles(v, rows)
+    total = d2.shape[0]
+    block_rows = min(block_rows, total)
+    rem = (-total) % block_rows
+    if rem:
+        z = jnp.zeros((rem, _LANES), v.dtype)
+        d2, v2 = jnp.concatenate([d2, z]), jnp.concatenate([v2, z])
+        total += rem
+    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _copy3_kernel,
+        out_shape=jax.ShapeDtypeStruct((total, _LANES), v.dtype),
+        grid=(total // block_rows,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(d2, v2)
     return out.reshape(-1)[:n]
 
 

@@ -112,3 +112,22 @@ def test_validation():
         lobpcg(A_op, m=N, nx=4, nev=5, max_iterations=10)
     with pytest.raises(ValueError):
         lobpcg(A_op, m=3, nx=4, nev=2, max_iterations=10)
+
+
+def test_f32_ill_conditioned_preconditioned():
+    """Regression for the TPU failure mode: in pure f32 with a wide spectrum
+    the Cholesky Rayleigh-Ritz collapses and 1/eps-scale soft-lock sentinels
+    destroy eigh accuracy under norm-normalizing eigh implementations.  The
+    whitened RR + moderate negative sentinels must converge in a handful of
+    iterations with an exact-inverse preconditioner."""
+    m = 20000
+    d = jnp.linspace(1.0, float(m), m, dtype=jnp.float32)
+    A = lambda S: d[:, None] * S
+    T = lambda S: S / d[:, None]
+    res = lobpcg(A, T=T, m=m, nx=12, nev=5, max_iterations=50, tau=1e-4,
+                 key=jax.random.PRNGKey(3))
+    assert int(res.num_converged) == 5
+    assert int(res.num_iterations) <= 10
+    # f32 floor: eps * |A| ~ 2.4e-3
+    np.testing.assert_allclose(np.asarray(res.theta, np.float64),
+                               np.arange(1.0, 6.0), atol=5e-2)
