@@ -22,6 +22,9 @@ def main():
     A = lambda S: d[:, None] * S
     T = lambda S: S / d[:, None]   # exact inverse preconditioner
 
+    # jit the whole solve so repeated calls reuse one compiled program (the
+    # implicit while_loop would otherwise retrace + recompile per call)
+    @jax.jit
     def run():
         return lobpcg(A, T=T, m=m, nx=nx, nev=nev, max_iterations=100,
                       tau=1e-4, key=jax.random.PRNGKey(3))
@@ -32,10 +35,14 @@ def main():
     iters = int(res.num_iterations)
     err = float(np.max(np.abs(np.asarray(res.theta)
                               - np.arange(1, nev + 1, dtype=np.float64))))
+    # Accuracy floor in f32 is eps * |A| ~ 1.2e-2 (|A| = 1e5); x64 reaches
+    # the reference's 1e-4 envelope (tests pin that on CPU).
+    floor = 5e-2 if res.theta.dtype == jnp.float32 else 1e-4
     emit("lobpcg_1e5_iters_per_s", iters / dt,
          f"block iters/s (m={m}, nx={nx}, nev={nev}, {iters} iters, "
-         f"max|theta-lambda|={err:.2e}, nc={int(res.num_converged)})",
-         1.0 if err < 1e-2 else 0.0)
+         f"max|theta-lambda|={err:.2e} @ dtype floor {floor:.0e}, "
+         f"nc={int(res.num_converged)})",
+         1.0 if err < floor and int(res.num_converged) >= nev else 0.0)
 
 
 if __name__ == "__main__":

@@ -22,15 +22,17 @@ from optimization_tpu.solvers import tnt
 def main():
     B = max(1, len(jax.devices())) * 2
     n, d, noise = 128, 3, 0.05
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
-    insts = [rs.random_instance(k, n, d, extra_edges=2 * n, noise=noise)
-             for k in keys]
-    R_true = jnp.stack([i[0] for i in insts])
-    data = rs.RotationSyncData(
-        src=insts[0][1].src, dst=insts[0][1].dst,
-        Rij=jnp.stack([i[1].Rij for i in insts]))
-    R0 = jax.vmap(lambda k: rs.ROTATIONS.rand(k, n, d, d))(
-        jax.random.split(jax.random.PRNGKey(1), B)).astype(jnp.float32)
+    # One shared edge topology, per-instance rotations/noise (vmappable)
+    R_true, data = rs.random_fleet(jax.random.PRNGKey(0), B, n, d,
+                                   extra_edges=2 * n, noise=noise)
+    # SE-Sync pipeline: spectral (chordal) initialization per instance —
+    # random inits land in local minima of the chordal cost at this density.
+    R0 = jnp.stack([
+        rs.spectral_init(
+            rs.RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij[i]),
+            n, d)
+        for i in range(B)
+    ]).astype(jnp.float32)
 
     problem = rs.make_problem()
     params = tnt.TNTParams(

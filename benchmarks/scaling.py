@@ -27,11 +27,11 @@ def run_fleet(mesh, per_device, n, noise=0.05):
     from optimization_tpu.solvers import tnt
 
     B = per_device * mesh.devices.size
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
-    insts = [rs.random_instance(k, n, 3, extra_edges=2 * n, noise=noise)
-             for k in keys]
-    src, dst = insts[0][1].src, insts[0][1].dst
-    Rijs = jnp.stack([i[1].Rij for i in insts])
+    # One shared edge topology, per-instance rotations/noise (vmappable);
+    # throughput scaling only, so random inits are fine here.
+    _, data = rs.random_fleet(jax.random.PRNGKey(0), B, n, 3,
+                              extra_edges=2 * n, noise=noise)
+    src, dst, Rijs = data.src, data.dst, data.Rij
     R0 = jax.vmap(lambda k: rs.ROTATIONS.rand(k, n, 3, 3))(
         jax.random.split(jax.random.PRNGKey(1), B)).astype(jnp.float32)
 

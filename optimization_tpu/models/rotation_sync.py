@@ -26,7 +26,7 @@ from ..core.problem import RiemannianProblem
 from ..manifolds.stiefel import ROTATIONS
 
 __all__ = ["RotationSyncData", "make_problem", "random_instance",
-           "mean_rotation_error"]
+           "random_fleet", "mean_rotation_error"]
 
 
 class RotationSyncData(NamedTuple):
@@ -76,6 +76,38 @@ def random_instance(key, n: int, d: int = 3, extra_edges: int = 0,
     pert = _orthonormalize(pert)
     Rij = pert @ Rij_clean
     return R_true, RotationSyncData(src=src, dst=dst, Rij=Rij)
+
+
+def random_fleet(key, B: int, n: int, d: int = 3, extra_edges: int = 0,
+                 noise: float = 0.05, dtype=jnp.float32):
+    """Sample B instances sharing ONE edge topology (so the fleet vmaps with
+    a single (src, dst) and a stacked (B, E, d, d) measurement block).
+
+    Returns ``(R_trues, data)`` with ``R_trues`` of shape (B, n, d, d) and
+    ``data.Rij`` of shape (B, E, d, d).
+    """
+    kt, ke, kn = jax.random.split(key, 3)
+    src = jnp.arange(n - 1, dtype=jnp.int32)
+    dst = src + 1
+    if extra_edges:
+        k2, k3 = jax.random.split(ke)
+        src = jnp.concatenate(
+            [src, jax.random.randint(k2, (extra_edges,), 0, n, jnp.int32)])
+        dst = jnp.concatenate(
+            [dst, jax.random.randint(k3, (extra_edges,), 0, n, jnp.int32)])
+
+    def one(k):
+        k1, k4 = jax.random.split(k)
+        R_true = ROTATIONS.rand(k1, n, d, d).astype(dtype)
+        Rij_clean = R_true[src] @ jnp.swapaxes(R_true[dst], -1, -2)
+        w = noise * jax.random.normal(k4, (src.shape[0], d, d), dtype)
+        skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+        pert = _orthonormalize(
+            jnp.eye(d, dtype=dtype) + skew + 0.5 * (skew @ skew))
+        return R_true, pert @ Rij_clean
+
+    R_trues, Rijs = jax.vmap(one)(jax.random.split(kt, B))
+    return R_trues, RotationSyncData(src=src, dst=dst, Rij=Rijs)
 
 
 def _orthonormalize(M):

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 
 from ..core.tree import tree_dot
 
-__all__ = ["pdot", "pnorm", "pmean_tree", "sharded_inner", "psum_scalar"]
+__all__ = ["pdot", "pnorm", "pmean_tree", "sharded_inner", "psum_scalar",
+           "sharded_gram", "sharded_gram_pair"]
 
 
 def psum_scalar(x, axis) -> jnp.ndarray:
@@ -39,6 +40,26 @@ def pnorm(u: Any, axis) -> jnp.ndarray:
 def pmean_tree(tree: Any, axis) -> Any:
     """Leafwise pmean — the consensus-averaging primitive for ADMM."""
     return jax.tree_util.tree_map(lambda l: jax.lax.pmean(l, axis), tree)
+
+
+def sharded_gram(S_local: jnp.ndarray, AS_local: jnp.ndarray,
+                 axis) -> jnp.ndarray:
+    """Distributed Gram matrix ``S' AS`` for a basis row-sharded over
+    ``axis`` (the long-vector / SP-analog seam of SURVEY.md section 2.9,
+    mapping the LOBPCG Gram stage ``LOBPCG.h:271-272``): each shard forms its
+    local (k x k) contribution on the MXU, then one small psum rides ICI."""
+    local = jnp.matmul(S_local.T, AS_local,
+                       precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.psum(local, axis)
+
+
+def sharded_gram_pair(S_local, AS_local, BS_local, axis):
+    """``(S'AS, S'BS)`` with a single fused psum over ``axis``."""
+    ga = jnp.matmul(S_local.T, AS_local,
+                    precision=jax.lax.Precision.HIGHEST)
+    gb = jnp.matmul(S_local.T, BS_local,
+                    precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.psum((ga, gb), axis)
 
 
 def sharded_inner(axis) -> Callable[[Any, Any, Any], jnp.ndarray]:

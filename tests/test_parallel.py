@@ -166,3 +166,78 @@ def test_shard_map_collectives():
 
     out = consensus_avg(u)
     np.testing.assert_allclose(np.asarray(out), np.full(32, float(u.mean())))
+
+
+def test_sharded_basis_lobpcg_matches_single_device():
+    """SP-analog (SURVEY.md 2.9): LOBPCG with the basis row-sharded over the
+    "model" axis.  Under jit + NamedSharding the Gram GEMMs lower to
+    per-shard partials + psum over ICI; results must match the unsharded
+    solve to tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from optimization_tpu.linalg.lobpcg import lobpcg
+    from optimization_tpu.parallel import make_mesh
+
+    m, nx, nev = 4096, 8, 4
+    d = jnp.linspace(1.0, 400.0, m)
+    X0 = jax.random.normal(jax.random.PRNGKey(7), (m, nx))
+
+    def solve(dd, X):
+        res = lobpcg(lambda S: dd[:, None] * S,
+                     T=lambda S: S / dd[:, None], X0=X, nev=nev,
+                     max_iterations=150, tau=1e-8)
+        return res.theta, res.num_converged
+
+    theta_ref, nc_ref = jax.jit(solve)(d, X0)
+
+    mesh = make_mesh((8,), ("model",))
+    d_sh = jax.device_put(d, NamedSharding(mesh, P("model")))
+    X_sh = jax.device_put(X0, NamedSharding(mesh, P("model", None)))
+    theta_sh, nc_sh = jax.jit(solve)(d_sh, X_sh)
+
+    assert int(nc_sh) == int(nc_ref) == nev
+    np.testing.assert_allclose(np.asarray(theta_sh), np.asarray(theta_ref),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_sharded_gram_collectives():
+    """sharded_gram / sharded_gram_pair inside shard_map equal the dense
+    Gram computed on one device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from optimization_tpu.parallel import make_mesh
+    from optimization_tpu.parallel.collectives import (sharded_gram,
+                                                       sharded_gram_pair)
+
+    m, k = 1024, 6
+    key1, key2, key3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    S = jax.random.normal(key1, (m, k))
+    AS = jax.random.normal(key2, (m, k))
+    BS = jax.random.normal(key3, (m, k))
+
+    mesh = make_mesh((8,), ("model",))
+    from jax.shard_map import shard_map
+
+    gram = shard_map(
+        partial(sharded_gram, axis="model"), mesh=mesh,
+        in_specs=(P("model", None), P("model", None)),
+        out_specs=P(None, None))
+    np.testing.assert_allclose(np.asarray(gram(S, AS)),
+                               np.asarray(S.T @ AS), rtol=1e-10)
+
+    pair = shard_map(
+        partial(sharded_gram_pair, axis="model"), mesh=mesh,
+        in_specs=(P("model", None),) * 3,
+        out_specs=(P(None, None), P(None, None)))
+    ga, gb = pair(S, AS, BS)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(S.T @ AS),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(S.T @ BS),
+                               rtol=1e-10)
