@@ -33,9 +33,13 @@ class RotationSyncData(NamedTuple):
     src: jnp.ndarray     # (E,) int32: edge sources i
     dst: jnp.ndarray     # (E,) int32: edge targets j
     Rij: jnp.ndarray     # (E, d, d): measured relative rotations
+    # Optional per-edge rotational information weights (SE-Sync's kappa; the
+    # g2o loader surfaces these from the file's information matrices).
+    kappa: Optional[jnp.ndarray] = None    # (E,)
 
 
 def chordal_cost(R: jnp.ndarray, data: RotationSyncData) -> jnp.ndarray:
+    """f(R) = sum_e kappa_e |R_i - R~_e R_j|_F^2 (kappa = 1 when absent)."""
     Ri = R[data.src]                       # (E, d, d)
     Rj = R[data.dst]
     # d x d products are tiny; run them at full precision — the TPU MXU's
@@ -43,7 +47,10 @@ def chordal_cost(R: jnp.ndarray, data: RotationSyncData) -> jnp.ndarray:
     pred = jnp.einsum("eij,ejk->eik", data.Rij, Rj,
                       precision=jax.lax.Precision.HIGHEST)
     diff = Ri - pred
-    return jnp.sum(diff * diff)
+    sq = jnp.sum(diff * diff, axis=(-1, -2))
+    if data.kappa is not None:
+        sq = data.kappa * sq
+    return jnp.sum(sq)
 
 
 def make_problem() -> RiemannianProblem:
@@ -126,14 +133,17 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int):
     spanned by the (stacked) true rotations in the noiseless case — the
     SE-Sync chordal initialization.
     """
-    deg = (jnp.zeros((n,)).at[data.src].add(1.0).at[data.dst].add(1.0))
+    w = (data.kappa if data.kappa is not None
+         else jnp.ones_like(data.src, dtype=data.Rij.dtype))
+    deg = (jnp.zeros((n,), data.Rij.dtype)
+           .at[data.src].add(w).at[data.dst].add(w))
 
     def L(S):
         k = S.shape[-1]
         X = S.reshape(n, d, k)
-        RX_j = jnp.einsum("eij,ejk->eik", data.Rij, X[data.dst],
+        RX_j = jnp.einsum("e,eij,ejk->eik", w, data.Rij, X[data.dst],
                           precision=jax.lax.Precision.HIGHEST)
-        RtX_i = jnp.einsum("eji,ejk->eik", data.Rij, X[data.src],
+        RtX_i = jnp.einsum("e,eji,ejk->eik", w, data.Rij, X[data.src],
                            precision=jax.lax.Precision.HIGHEST)
         out = deg[:, None, None] * X
         out = out.at[data.src].add(-RX_j)

@@ -83,3 +83,47 @@ def test_connection_laplacian_psd_and_kernel():
     probes = jax.random.normal(jax.random.PRNGKey(5), (N * D, 4))
     quad = jnp.sum(probes * L(probes), axis=0)
     assert (np.asarray(quad) > -1e-10).all()
+
+
+def test_weighted_chordal_cost_and_laplacian():
+    """Per-edge kappa weights (surfaced by the g2o loader) scale both the
+    chordal cost and the connection Laplacian consistently."""
+    R_true, data = _instance(6)
+    kappa = 1.0 + jnp.arange(data.src.shape[0], dtype=jnp.float64) / 10.0
+    wdata = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij,
+                                kappa=kappa)
+    # kappa = ones is identical to the unweighted cost
+    ones = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij,
+                               kappa=jnp.ones_like(kappa))
+    R = rs.ROTATIONS.rand(jax.random.PRNGKey(0), N, D, D)
+    np.testing.assert_allclose(float(rs.chordal_cost(R, ones)),
+                               float(rs.chordal_cost(R, data)), rtol=1e-12)
+    # Weighted cost equals the sum of per-edge weighted squared residuals
+    Ri, Rj = R[data.src], R[data.dst]
+    diff = Ri - jnp.einsum("eij,ejk->eik", data.Rij, Rj)
+    per_edge = jnp.sum(diff * diff, axis=(-1, -2))
+    np.testing.assert_allclose(float(rs.chordal_cost(R, wdata)),
+                               float(jnp.sum(kappa * per_edge)), rtol=1e-12)
+    # Weighted Laplacian still kills the truth in the noiseless case
+    _, clean = rs.random_instance(jax.random.PRNGKey(6), N, D,
+                                  extra_edges=2 * N, noise=0.0,
+                                  dtype=jnp.float64)
+    wclean = rs.RotationSyncData(src=clean.src, dst=clean.dst, Rij=clean.Rij,
+                                 kappa=kappa)
+    L = rs.connection_laplacian_op(wclean, N, D)
+    R_true6, _ = rs.random_instance(jax.random.PRNGKey(6), N, D,
+                                    extra_edges=2 * N, noise=0.0,
+                                    dtype=jnp.float64)
+    assert float(jnp.linalg.norm(L(R_true6.reshape(N * D, D)))) < 1e-10
+
+
+def test_pipeline_with_weights():
+    """TNT on the weighted cost converges from spectral init."""
+    R_true, data = _instance(7)
+    kappa = jnp.full(data.src.shape, 4.0, jnp.float64)
+    wdata = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij,
+                                kappa=kappa)
+    R0 = rs.spectral_init(wdata, N, D)
+    res = tnt.solve(rs.make_problem(), R0, PARAMS, data=wdata)
+    assert int(res.status) == TNTStatus.GRADIENT
+    assert float(rs.mean_rotation_error(res.x, R_true)) < 0.1
