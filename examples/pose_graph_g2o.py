@@ -1,9 +1,8 @@
-"""Pose-graph rotation synchronization from a g2o file, end to end.
+"""SE(3) pose synchronization from a g2o file, end to end.
 
 Pipeline: native C++ g2o loader (falls back to pure Python) -> SE-Sync-style
-spectral initialization (LOBPCG on the connection Laplacian) -> Riemannian
-TNT on SO(3)^n, run through the host-chunked driver with verbose iteration
-lines and a wall-clock budget.
+chordal/spectral initialization (LOBPCG on the connection Laplacian) ->
+Riemannian TNT on SO(3)^n -> translation recovery via matrix-free LSQR.
 
 Run: python examples/pose_graph_g2o.py [file.g2o]
 (with no argument, a synthetic noisy pose graph is generated and written to
@@ -22,10 +21,8 @@ setup()
 import jax
 import jax.numpy as jnp
 
-from optimization_tpu.core import driver
 from optimization_tpu.io import load_g2o, native_available
-from optimization_tpu.models import rotation_sync as rs
-from optimization_tpu.solvers import tnt
+from optimization_tpu.models import pose_sync, rotation_sync as rs
 
 
 def rotmat_to_quat(R):
@@ -38,29 +35,51 @@ def rotmat_to_quat(R):
 
 
 def synthesize_g2o(path, n=64, noise=0.03, seed=0):
-    """Write a noisy synthetic SE(3) pose graph (identity translations)."""
-    R_true, data = rs.random_instance(
-        jax.random.PRNGKey(seed), n, 3, extra_edges=2 * n, noise=noise)
-    lines = []
+    """Write a noisy synthetic SE(3) pose graph in the g2o convention
+    (M_e = R_i' R_j, t_e = R_i'(t_j - t_i))."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    R_true = rs.ROTATIONS.rand(k1, n, 3, 3)
+    t_true = 3.0 * jax.random.normal(k2, (n, 3))
+
+    src = jnp.arange(n - 1, dtype=jnp.int32)
+    dst = src + 1
+    src = jnp.concatenate(
+        [src, jax.random.randint(k3, (2 * n,), 0, n, jnp.int32)])
+    dst = jnp.concatenate(
+        [dst, jax.random.randint(k4, (2 * n,), 0, n, jnp.int32)])
+
+    Rt = jnp.swapaxes(R_true, -1, -2)
+    Mij = jnp.einsum("eij,ejk->eik", Rt[src], R_true[dst])
+    tij = jnp.einsum("eij,ej->ei", Rt[src], t_true[dst] - t_true[src])
+    w = noise * jax.random.normal(k5, (src.shape[0], 3, 3))
+    skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+    pert = rs._orthonormalize(jnp.eye(3) + skew + 0.5 * (skew @ skew))
+    Mij = pert @ Mij
+    tij = tij + noise * jax.random.normal(k5, tij.shape)
+
     info = np.zeros(21)
     info[[0, 6, 11, 15, 18, 20]] = 1.0
     info_s = " ".join(map(str, info))
-    for e in range(int(data.src.shape[0])):
-        x, y, z, w = rotmat_to_quat(np.asarray(data.Rij[e], np.float64))
+    lines = []
+    for e in range(int(src.shape[0])):
+        x, y, z, qw = rotmat_to_quat(np.asarray(Mij[e], np.float64))
+        tx, ty, tz = np.asarray(tij[e], np.float64)
         lines.append(
-            f"EDGE_SE3:QUAT {int(data.src[e])} {int(data.dst[e])} 0 0 0 "
-            f"{x:.12f} {y:.12f} {z:.12f} {w:.12f} {info_s}")
+            f"EDGE_SE3:QUAT {int(src[e])} {int(dst[e])} "
+            f"{tx:.12f} {ty:.12f} {tz:.12f} "
+            f"{x:.12f} {y:.12f} {z:.12f} {qw:.12f} {info_s}")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
-    return np.asarray(R_true)
+    return np.asarray(R_true), np.asarray(t_true)
 
 
 def main():
     if len(sys.argv) > 1:
-        path, R_true = sys.argv[1], None
+        path, truth = sys.argv[1], None
     else:
         path = tempfile.NamedTemporaryFile(suffix=".g2o", delete=False).name
-        R_true = synthesize_g2o(path)
+        truth = synthesize_g2o(path)
         print(f"synthesized pose graph -> {path}")
 
     g = load_g2o(path)
@@ -68,30 +87,20 @@ def main():
           f"SE({g.dim}), native parser: {native_available()}")
 
     dtype = jnp.zeros(()).dtype
-    data = rs.RotationSyncData(
-        src=jnp.asarray(g.src), dst=jnp.asarray(g.dst),
-        Rij=jnp.asarray(g.Rij, dtype))
+    res = pose_sync.solve_pose_graph(g, dtype=dtype)
+    rr = res.rotation_result
+    print(f"rotations: status={int(rr.status)} f={float(rr.f):.6e} "
+          f"|grad|={float(rr.gradfx_norm):.3e} "
+          f"iters={int(rr.num_iterations)}")
+    print(f"translations: LSQR residual={float(res.translation_residual):.3e}")
 
-    R0 = rs.spectral_init(data, g.n_vertices, g.dim)
-    print("spectral init done; refining with TNT...")
-
-    # f32's gradient-noise floor on this objective is ~1e-3; x64 goes to 1e-8
-    gtol = 1e-8 if dtype == jnp.float64 else 2e-3
-    params = tnt.TNTParams(
-        max_iterations=100, gradient_tolerance=gtol,
-        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
-        preconditioned_gradient_tolerance=0.0,
-        max_computation_time=300.0, verbose=True)
-    res = driver.drive(tnt, rs.make_problem(), R0.astype(dtype), params,
-                       data=data, chunk_iterations=10)
-
-    print(f"status={int(res.status)} f={float(res.f):.6e} "
-          f"|grad|={float(res.gradfx_norm):.3e} "
-          f"iters={int(res.num_iterations)}")
-    if R_true is not None:
-        err = float(rs.mean_rotation_error(
-            res.x, jnp.asarray(R_true, dtype)))
-        print(f"mean gauge-aligned rotation error vs truth: {err:.4f}")
+    if truth is not None:
+        R_true, t_true = truth
+        err_R, err_t = pose_sync.alignment_errors(
+            res.R, res.t, jnp.asarray(R_true, dtype),
+            jnp.asarray(t_true, dtype))
+        print(f"gauge-aligned errors: rotations {float(err_R):.4f}, "
+              f"translations (max) {float(err_t):.4f}")
 
 
 if __name__ == "__main__":

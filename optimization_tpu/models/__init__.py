@@ -1,1 +1,1 @@
-from . import rotation_sync
+from . import pose_sync, rotation_sync

@@ -1,0 +1,118 @@
+"""SE(d) pose synchronization: g2o-convention rotations + LSQR translations.
+
+End-to-end SE-Sync pipeline over synthetic pose graphs written in the real
+g2o convention (M_e = R_i' R_j, t_e = R_i'(t_j - t_i)), including the
+round-trip through the g2o file loader.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from optimization_tpu.io.g2o import PoseGraph
+from optimization_tpu.models import pose_sync, rotation_sync as rs
+
+N, D = 20, 3
+
+
+def _make_pose_graph(seed, noise_rot=0.0, noise_t=0.0):
+    """Synthetic SE(3) pose graph with g2o measurement conventions."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    R_true = rs.ROTATIONS.rand(k1, N, D, D).astype(jnp.float64)
+    t_true = jax.random.normal(k2, (N, D), jnp.float64)
+
+    src = jnp.arange(N - 1, dtype=jnp.int32)
+    dst = src + 1
+    extra = 2 * N
+    src = jnp.concatenate(
+        [src, jax.random.randint(k3, (extra,), 0, N, jnp.int32)])
+    dst = jnp.concatenate(
+        [dst, jax.random.randint(k4, (extra,), 0, N, jnp.int32)])
+
+    Rt = jnp.swapaxes(R_true, -1, -2)
+    Mij = jnp.einsum("eij,ejk->eik", Rt[src], R_true[dst])
+    tij = jnp.einsum("eij,ej->ei", Rt[src], t_true[dst] - t_true[src])
+    if noise_rot:
+        w = noise_rot * jax.random.normal(k3, (src.shape[0], D, D),
+                                          jnp.float64)
+        skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+        pert = rs._orthonormalize(
+            jnp.eye(D, dtype=jnp.float64) + skew + 0.5 * (skew @ skew))
+        Mij = pert @ Mij
+    if noise_t:
+        tij = tij + noise_t * jax.random.normal(k4, tij.shape, jnp.float64)
+
+    g = PoseGraph(n_vertices=N, dim=D,
+                  src=np.asarray(src), dst=np.asarray(dst),
+                  Rij=np.asarray(Mij), tij=np.asarray(tij),
+                  kappa=np.ones(int(src.shape[0])))
+    return g, np.asarray(R_true), np.asarray(t_true)
+
+
+def _errors(R, t, R_true, t_true):
+    er, et = pose_sync.alignment_errors(
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(R_true),
+        jnp.asarray(t_true))
+    return float(er), float(et)
+
+
+def test_noiseless_pose_graph_exact():
+    g, R_true, t_true = _make_pose_graph(0)
+    res = pose_sync.solve_pose_graph(g, dtype=jnp.float64)
+    err_R, err_t = _errors(res.R, res.t, R_true, t_true)
+    assert err_R < 1e-6
+    # LSQR's S1 stop fires at btol * |b| (btol = 1e-8, |b| ~ 17)
+    assert float(res.translation_residual) < 1e-5
+    assert err_t < 1e-6
+
+
+def test_noisy_pose_graph_near_truth():
+    g, R_true, t_true = _make_pose_graph(1, noise_rot=0.02, noise_t=0.01)
+    res = pose_sync.solve_pose_graph(g, dtype=jnp.float64)
+    err_R, err_t = _errors(res.R, res.t, R_true, t_true)
+    assert err_R < 0.05
+    assert err_t < 0.15
+
+
+def test_g2o_file_roundtrip_pipeline(tmp_path):
+    """Write the graph as a real g2o file, reload, solve — the loader and the
+    model agree on the measurement convention."""
+    from optimization_tpu.io import load_g2o
+
+    g, R_true, t_true = _make_pose_graph(2)
+    lines = []
+    info = np.zeros(21)
+    info[[0, 6, 11, 15, 18, 20]] = 1.0
+    info_s = " ".join(map(str, info))
+    for e in range(len(g.src)):
+        M = g.Rij[e]
+        w = np.sqrt(max(0.0, 1 + np.trace(M))) / 2
+        x = (M[2, 1] - M[1, 2]) / (4 * w)
+        y = (M[0, 2] - M[2, 0]) / (4 * w)
+        z = (M[1, 0] - M[0, 1]) / (4 * w)
+        tx, ty, tz = g.tij[e]
+        lines.append(
+            f"EDGE_SE3:QUAT {int(g.src[e])} {int(g.dst[e])} "
+            f"{tx:.14f} {ty:.14f} {tz:.14f} "
+            f"{x:.14f} {y:.14f} {z:.14f} {w:.14f} {info_s}")
+    p = tmp_path / "pose.g2o"
+    p.write_text("\n".join(lines) + "\n")
+
+    loaded = load_g2o(str(p))
+    res = pose_sync.solve_pose_graph(loaded, dtype=jnp.float64)
+    err_R, err_t = _errors(res.R, res.t, R_true, t_true)
+    assert err_R < 1e-5
+    assert err_t < 1e-4
+
+
+def test_translation_recovery_weighted():
+    g, R_true, t_true = _make_pose_graph(3, noise_t=0.05)
+    w = np.linspace(0.5, 2.0, len(g.src))
+    t, resid = pose_sync.recover_translations(
+        jnp.asarray(R_true), jnp.asarray(g.src), jnp.asarray(g.dst),
+        jnp.asarray(g.tij), weights=jnp.asarray(w))
+    # With true rotations the LS recovers translations to ~noise accuracy
+    _, err_t = _errors(R_true, np.asarray(t), R_true, t_true)
+    assert err_t < 0.2
+    assert float(resid) > 0  # noisy: nonzero residual reported
