@@ -49,16 +49,16 @@ def main():
           f"iters={int(res.num_iterations)} f={float(res.f):.4e} "
           f"aligned-err={float(err):.4f} wall={time.time() - t0:.2f}s")
 
-    # --- batched fleet (DP over the mesh batch axis) ---
+    # --- batched fleet (DP over the mesh batch axis): one shared edge
+    # topology, per-instance measurements, spectral init per instance ---
     B = 4
-    keys = jax.random.split(jax.random.PRNGKey(7), B)
-    inst = [rs.random_instance(k, n, d, extra_edges=2 * n, noise=0.05,
-                               dtype=R_true.dtype) for k in keys]
-    datas = rs.RotationSyncData(
-        src=inst[0][1].src, dst=inst[0][1].dst,
-        Rij=jnp.stack([i[1].Rij for i in inst]))
-    R0s = jnp.stack([rs.spectral_init(i[1], n, d).astype(R_true.dtype)
-                     for i in inst])
+    _, datas = rs.random_fleet(jax.random.PRNGKey(7), B, n, d,
+                               extra_edges=2 * n, noise=0.05,
+                               dtype=R_true.dtype)
+    R0s = jnp.stack([
+        rs.spectral_init(rs.RotationSyncData(src=datas.src, dst=datas.dst,
+                                             Rij=datas.Rij[i]), n, d)
+        for i in range(B)]).astype(R_true.dtype)
 
     mesh = batch_mesh(min(B, len(jax.devices())))
     R0s = shard_batch(R0s, mesh)

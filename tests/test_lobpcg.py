@@ -131,3 +131,20 @@ def test_f32_ill_conditioned_preconditioned():
     # f32 floor: eps * |A| ~ 2.4e-3
     np.testing.assert_allclose(np.asarray(res.theta, np.float64),
                                np.arange(1.0, 6.0), atol=5e-2)
+
+
+def test_vmapped_batch():
+    """A fleet of eigenproblems under vmap: one compiled program."""
+    B, m_, nx_, nev_ = 3, 200, 6, 3
+    shifts = jnp.array([0.0, 10.0, 100.0])
+
+    def solve_one(shift):
+        dd = jnp.linspace(1.0, 50.0, m_) + shift
+        res = lobpcg(lambda S: dd[:, None] * S, m=m_, nx=nx_, nev=nev_,
+                     max_iterations=300, tau=1e-8)
+        return res.theta, res.num_converged
+
+    thetas, ncs = jax.vmap(solve_one)(shifts)
+    for b in range(B):
+        want = np.linspace(1.0, 50.0, m_)[:nev_] + float(shifts[b])
+        np.testing.assert_allclose(np.asarray(thetas[b]), want, atol=1e-4)

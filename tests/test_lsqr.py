@@ -95,3 +95,13 @@ def test_param_validation():
         lsqr(A_op, At_op, b, inner, inner, lam=-1.0)
     with pytest.raises(ValueError):
         lsqr(A_op, At_op, b, inner, inner, cond_limit=0.0)
+
+
+def test_user_function_early_stop():
+    """LSQRUserFunction analog (ref IterativeSolvers.h:843-851)."""
+    A = jnp.array([[2.0, 0.0], [0.0, 3.0], [1.0, 1.0]])
+    b = jnp.array([2.0, 3.0, 2.0])
+    stop = lambda k, x, xn, rn, Arn, An, cn: k >= 0  # fire after 1st iter
+    res = lsqr(lambda v: A @ v, lambda u: A.T @ u, b, inner, inner,
+               max_iterations=100, user_function=stop)
+    assert int(res.num_iterations) == 1

@@ -223,7 +223,7 @@ def test_sharded_gram_collectives():
     BS = jax.random.normal(key3, (m, k))
 
     mesh = make_mesh((8,), ("model",))
-    from jax.shard_map import shard_map
+    shard_map = jax.shard_map
 
     gram = shard_map(
         partial(sharded_gram, axis="model"), mesh=mesh,

@@ -93,3 +93,18 @@ def test_batched_tnls():
     assert res.x.shape == (4, 2)
     np.testing.assert_allclose(np.asarray(res.x),
                                np.tile([OMEGA, PHI], (4, 1)), atol=0.05)
+
+
+def test_user_function_early_stop():
+    """TNLSUserFunction analog: a predicate that fires immediately stops the
+    solve with USER_FUNCTION status before any update (ref TNLS.h:604-613)."""
+    problem = LeastSquaresProblem(residual=residual)
+    params = tnls.TNLSParams(max_iterations=50, root_tolerance=1e-10,
+                             gradient_tolerance=1e-12,
+                             relative_decrease_tolerance=0.0,
+                             stepsize_tolerance=0.0)
+    stop = lambda k, x, Fx, Delta, inner, h, dL, rho, acc: jnp.asarray(True)
+    res = tnls.solve(problem, BETA0, params, data=Y_CLEAN,
+                     user_function=stop)
+    assert int(res.status) == TNLSStatus.USER_FUNCTION
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(BETA0))
