@@ -9,8 +9,7 @@ too; we avoid requiring it).
 
 from __future__ import annotations
 
-import json
-from typing import Any, Tuple
+from typing import Any
 
 import jax
 import numpy as np

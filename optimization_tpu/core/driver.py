@@ -25,9 +25,8 @@ iterations in a chunk share the chunk-end timestamp in ``result.times``.
 
 from __future__ import annotations
 
-import math
 import time
-from typing import Any, Callable, NamedTuple, Optional, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import dataclasses
 

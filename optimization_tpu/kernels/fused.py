@@ -21,7 +21,7 @@ Kernel inventory (reference seams in parentheses):
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

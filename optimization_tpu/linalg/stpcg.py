@@ -38,8 +38,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.tree import (tree_axpy, tree_neg, tree_scale, tree_where,
-                         tree_zeros_like)
+from ..core.tree import tree_axpy, tree_neg, tree_where, tree_zeros_like
 
 __all__ = ["STPCGResult", "stpcg"]
 

@@ -25,7 +25,6 @@ R = Q'.  No approximation is involved.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, NamedTuple, Optional
 
 import jax

@@ -14,7 +14,7 @@ Strategy (SURVEY.md section 2.9):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
