@@ -18,8 +18,8 @@ Every kernel transparently falls back to interpret mode off-TPU, so the same
 code path is unit-tested on CPU and compiled on hardware.
 """
 
-from .fused import (affine_stencil_matvec, cg_dots,
+from .fused import (affine_stencil_matvec, axpy_selfdot, cg_dots,
                     diag_stencil_matvec, gram_pair, on_tpu, stream3_probe)
 
-__all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
-           "gram_pair", "on_tpu", "stream3_probe"]
+__all__ = ["affine_stencil_matvec", "axpy_selfdot", "cg_dots",
+           "diag_stencil_matvec", "gram_pair", "on_tpu", "stream3_probe"]

@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["affine_stencil_matvec", "cg_dots", "diag_stencil_matvec",
-           "gram_pair", "on_tpu", "stream3_probe"]
+__all__ = ["affine_stencil_matvec", "axpy_selfdot", "cg_dots",
+           "diag_stencil_matvec", "gram_pair", "on_tpu", "stream3_probe"]
 
 _LANES = 128
 _SUBLANES = 8
@@ -111,6 +111,49 @@ def cg_dots(p: jnp.ndarray, Hp: jnp.ndarray, r: jnp.ndarray,
     )(p2, hp2, r2)
     o = out[0].astype(p.dtype)
     return o[0], o[1], o[2], o[3]
+
+
+def _axpy_selfdot_kernel(alpha_ref, x_ref, y_ref, o_ref, dot_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dot_ref[0, 0] = 0.0
+
+    out = alpha_ref[0, 0] * x_ref[...] + y_ref[...]
+    o_ref[...] = out
+    out32 = out.astype(jnp.float32)
+    dot_ref[0, 0] += jnp.sum(out32 * out32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def axpy_selfdot(alpha, x: jnp.ndarray, y: jnp.ndarray,
+                 block_rows: int = 2048):
+    """``out = alpha*x + y`` and ``<out, out>`` in one pass (the STPCG
+    residual update + its preconditioned norm, ``IterativeSolvers.h:380-408``
+    for the identity preconditioner).  ``alpha`` may be a traced scalar."""
+    n = x.shape[0]
+    tiles = max(1, -(-n // (_LANES * block_rows)))
+    x2 = _as_tiles(x, block_rows * tiles)
+    y2 = _as_tiles(y, block_rows * tiles)
+    rows = x2.shape[0]
+    block_rows = min(block_rows, rows)
+    grid = rows // block_rows
+
+    a = jnp.asarray(alpha, x.dtype).reshape(1, 1)
+    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out, dot = pl.pallas_call(
+        _axpy_selfdot_kernel,
+        out_shape=(jax.ShapeDtypeStruct((rows, _LANES), x.dtype),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec, spec],
+        out_specs=(spec, pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)),
+        interpret=_interpret(),
+    )(a, x2, y2)
+    return out.reshape(-1)[:n], dot[0, 0].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------

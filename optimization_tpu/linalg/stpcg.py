@@ -95,6 +95,7 @@ def stpcg(
     At: Optional[Callable[[Any], Any]] = None,
     user_function: Optional[Callable[..., jnp.ndarray]] = None,
     epsilon: float = 1e-8,
+    fused_dots: bool = False,
 ) -> STPCGResult:
     """Run STPCG.  ``Delta`` may be a traced scalar (TNT passes its radius in).
 
@@ -109,8 +110,23 @@ def stpcg(
       predicate evaluated each iteration before the update is applied (the
       jittable analog of the reference's STPCGUserFunction,
       ``IterativeSolvers.h:50-59,364-369``).
+    - ``fused_dots``: compute the per-iteration reductions with the fused
+      Pallas kernels (``kernels.cg_dots`` / ``kernels.axpy_selfdot``) — one
+      memory pass instead of several.  Valid ONLY when the tangent space is a
+      single flat float array on one device with the plain Euclidean
+      ``inner`` and no preconditioner (the flagship large-n configuration);
+      the generic path remains the default because ``inner`` is the
+      mesh-sharding seam — and because, measured end-to-end on TPU v5e, the
+      opaque pallas_call boundary blocks XLA's cross-op fusion inside the CG
+      loop and nets ~20% slower despite the kernels being faster in
+      isolation.
     """
     _validate(max_iterations, kappa_fgr, theta, epsilon)
+    if fused_dots and (precon is not None
+                       or not isinstance(g, jnp.ndarray) or g.ndim != 1):
+        raise ValueError(
+            "fused_dots requires a flat single-array tangent space with no "
+            "preconditioner")
 
     def apply_P(r):
         if precon is None:
@@ -150,9 +166,14 @@ def stpcg(
 
     def body(st: _State) -> _State:
         Hp = Hv(st.p)
-        kappa = inner(st.p, Hp)
-        Hp_norm2 = inner(Hp, Hp)
-        p_norm2 = inner(st.p, st.p)
+        if fused_dots:
+            from ..kernels import cg_dots
+
+            kappa, Hp_norm2, p_norm2, pr_f = cg_dots(st.p, Hp, st.r)
+        else:
+            kappa = inner(st.p, Hp)
+            Hp_norm2 = inner(Hp, Hp)
+            p_norm2 = inner(st.p, st.p)
         in_kernel = jnp.sqrt(Hp_norm2) < epsilon * jnp.sqrt(p_norm2)
 
         # Descent alignment of the kernel direction.  The model gradient at
@@ -163,7 +184,7 @@ def stpcg(
         # direction of descent") and walks the model *uphill* whenever the
         # search direction lies in ker(H) — e.g. TNT from a point where the
         # Riemannian Hessian vanishes.  We implement the correct sign.
-        pr = inner(st.p, st.r)
+        pr = pr_f if fused_dots else inner(st.p, st.r)
         sign = jnp.where(in_kernel & (pr > 0), -jnp.ones((), dtype),
                          jnp.ones((), dtype))
         sk_M_pk_eff = sign * st.sk_M_pk
@@ -183,9 +204,17 @@ def stpcg(
 
         # Interior branch: full CG update (IterativeSolvers.h:374-420)
         s_int = tree_axpy(alpha, st.p, st.s)
-        r_int = tree_axpy(alpha, Hp, st.r)
-        v_int, r_int = apply_P(r_int)
-        rv_int = inner(r_int, v_int)
+        if fused_dots:
+            from ..kernels import axpy_selfdot
+
+            # identity preconditioner: v = r and <r, v> = |r|^2, fused with
+            # the residual update in one pass
+            r_int, rv_int = axpy_selfdot(alpha, Hp, st.r)
+            v_int = r_int
+        else:
+            r_int = tree_axpy(alpha, Hp, st.r)
+            v_int, r_int = apply_P(r_int)
+            rv_int = inner(r_int, v_int)
         beta = rv_int / (alpha * kappa)
         sk_M_pk_int = beta * (st.sk_M_pk + alpha * st.pk_M_2)
         pk_M_2_int = rv_int + beta * beta * st.pk_M_2

@@ -59,6 +59,14 @@ class TNTParams(SmoothOptimizerParams):
     theta: float = 0.5
     preconditioned_gradient_tolerance: float = 1e-6
     Delta_tolerance: float = 1e-6
+    # New (no reference counterpart): use the fused Pallas reduction kernels
+    # inside STPCG.  Valid only for single-device flat-array tangent spaces
+    # with the Euclidean metric and no preconditioner (see stpcg.fused_dots).
+    # Measured on TPU v5e (n=2^24 Rayleigh-quotient TNT): the pallas_call
+    # boundary blocks XLA's cross-op fusion inside the CG loop and the net
+    # effect is ~20% SLOWER than the default XLA path, even though the
+    # isolated kernels are faster; kept as an opt-in for future runtimes.
+    fused_dots: bool = False
 
     def validate(self) -> None:
         super().validate()
@@ -225,7 +233,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         cg = stpcg(grad, Hv, inner, st.Delta,
                    max_iterations=params.max_TPCG_iterations,
                    kappa_fgr=params.kappa_fgr, theta=params.theta,
-                   precon=precon_fn)
+                   precon=precon_fn, fused_dots=params.fused_dots)
         h, h_M_norm = cg.s, cg.update_step_M_norm
         h_norm = jnp.sqrt(inner(h, h))
 

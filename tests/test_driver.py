@@ -16,7 +16,7 @@ from optimization_tpu.core.types import (GradientDescentStatus, TNTStatus,
                                          ProximalGradientStatus, ADMMStatus)
 from optimization_tpu.manifolds import sphere
 from optimization_tpu.solvers import (admm, gradient_descent, prox,
-                                      proximal_gradient, tnt)
+                                      proximal_gradient, tnls, tnt)
 
 
 def rosenbrock(x, data):
@@ -181,3 +181,26 @@ class TestHostFacilities:
         from optimization_tpu.core.checkpoint import load_pytree
         x, Delta = load_pytree(path, (r.x, jnp.zeros(())))
         np.testing.assert_array_equal(np.asarray(x), np.asarray(r.x))
+
+
+def test_tnls_chunked_equals_monolithic():
+    from optimization_tpu import LeastSquaresProblem
+    from optimization_tpu.solvers import tnls
+
+    t = jnp.linspace(0.0, 2.0, 60)
+    y = jnp.sin(1.7 * t + 0.4) + 0.01 * jnp.cos(13 * t)
+
+    problem = LeastSquaresProblem(
+        residual=lambda b, d: jnp.sin(b[0] * t + b[1]) - y)
+    params = tnls.TNLSParams(max_iterations=60, gradient_tolerance=1e-10,
+                             root_tolerance=1e-12,
+                             relative_decrease_tolerance=0.0,
+                             stepsize_tolerance=0.0)
+    b0 = jnp.array([1.5, 0.2])
+    mono = tnls.solve(problem, b0, params)
+    chunked = driver.drive(tnls, problem, b0, params, chunk_iterations=7)
+    assert int(chunked.num_iterations) == int(mono.num_iterations)
+    assert int(chunked.status) == int(mono.status)
+    np.testing.assert_array_equal(np.asarray(chunked.x), np.asarray(mono.x))
+    np.testing.assert_allclose(chunked.trust_region_radius,
+                               mono.trust_region_radius, equal_nan=True)

@@ -61,3 +61,17 @@ def test_affine_stencil_matvec(n):
     expected = (d * v + 2.0 * v - up - down) * 0.5
     got = affine_stencil_matvec(v, a=a, b=b, scale=0.5)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [100, 4096, 100001])
+def test_axpy_selfdot(n):
+    from optimization_tpu.kernels import axpy_selfdot
+    k1, k2 = jax.random.split(KEY)
+    x = jax.random.normal(k1, (n,), jnp.float32)
+    y = jax.random.normal(k2, (n,), jnp.float32)
+    alpha = jnp.float32(0.37)
+    out, dot = axpy_selfdot(alpha, x, y)
+    want = alpha * x + y
+    # fma-ordering ULP differences on near-zero elements
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(dot, jnp.dot(want, want), rtol=1e-4)
