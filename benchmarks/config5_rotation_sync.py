@@ -21,7 +21,7 @@ from optimization_tpu.solvers import tnt
 
 def main():
     B = max(1, len(jax.devices())) * 2
-    n, d, noise = 128, 3, 0.05
+    n, d, noise = 512, 3, 0.05
     # One shared edge topology, per-instance rotations/noise (vmappable)
     R_true, data = rs.random_fleet(jax.random.PRNGKey(0), B, n, d,
                                    extra_edges=2 * n, noise=noise)
