@@ -50,12 +50,21 @@ def _inner(x, u, v):
 
 
 def _polar_retract(x, v):
-    """R_X(V) = (X+V) (I + V^T V)^{-1/2}  (V tangent => (X+V)^T(X+V) = I + V^T V)."""
+    """Polar retraction R_X(V) = uf(X + V) = (X+V) ((X+V)'(X+V))^{-1/2}.
+
+    The Gram matrix is computed exactly (NOT via the tangent-space identity
+    (X+V)'(X+V) = I + V'V): truncated-CG steps can carry small non-tangent
+    components (roundoff drift amplified by near-boundary walks), and the
+    exact polar factor keeps the iterate orthonormal for ANY ambient V —
+    making trust-region loops self-correcting instead of silently leaving
+    the manifold (where the pulled-back objective is meaningless).
+    """
     y = x + v
-    g = _mm(jnp.swapaxes(v, -1, -2), v)
-    g = g + jnp.eye(g.shape[-1], dtype=g.dtype)
+    g = _mm(jnp.swapaxes(y, -1, -2), y)
+    g = 0.5 * (g + jnp.swapaxes(g, -1, -2))
     # inverse matrix square root of the small p x p SPD Gram via eigh
     w, q = jnp.linalg.eigh(g)
+    w = jnp.maximum(w, jnp.finfo(g.dtype).tiny)
     inv_sqrt = _mm(q * (1.0 / jnp.sqrt(w))[..., None, :],
                    jnp.swapaxes(q, -1, -2))
     return _mm(y, inv_sqrt)
