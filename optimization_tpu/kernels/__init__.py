@@ -11,8 +11,18 @@ into a single memory pass:
   of (p, Hp, r);
 - :func:`gram_pair` — ``S'(AS)`` and ``S'(BS)`` sharing one read of ``S``
   (the LOBPCG Rayleigh-Ritz Gram stage, reference ``LOBPCG.h:271-272``);
-- :func:`diag_stencil_matvec` — a fused ``diag(d) + tridiagonal-stencil``
-  SPD matvec (the benchmark Hv operator) at speed-of-light HBM traffic.
+- :func:`diag_stencil_matvec` / :func:`affine_stencil_matvec` — fused
+  ``diag + tridiagonal-stencil`` SPD matvecs (the benchmark Hv operator) at
+  minimum HBM traffic (3n / 2n words);
+- :func:`axpy_selfdot` — residual update fused with its norm;
+- :func:`stream3_probe` — a stream-pattern-matched probe measuring the
+  attainable read-read-write bandwidth (the roofline-model ceiling the
+  benchmarks report against).
+
+Caveat (measured): inside a large jitted loop the opaque ``pallas_call``
+boundary blocks XLA's cross-op fusion, so locally-faster kernels can lose
+end-to-end — see ``stpcg(fused_dots=...)``. The stencil matvecs win because
+XLA materializes their pad/slice shifts.
 
 Every kernel transparently falls back to interpret mode off-TPU, so the same
 code path is unit-tested on CPU and compiled on hardware.
