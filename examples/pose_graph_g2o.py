@@ -87,12 +87,16 @@ def main():
           f"SE({g.dim}), native parser: {native_available()}")
 
     dtype = jnp.zeros(()).dtype
-    res = pose_sync.solve_pose_graph(g, dtype=dtype)
+    res = pose_sync.solve_pose_graph(g, dtype=dtype, certify=True)
     rr = res.rotation_result
     print(f"rotations: status={int(rr.status)} f={float(rr.f):.6e} "
           f"|grad|={float(rr.gradfx_norm):.3e} "
           f"iters={int(rr.num_iterations)}")
     print(f"translations: LSQR residual={float(res.translation_residual):.3e}")
+    c = res.certificate
+    print(f"certificate: certified={bool(c.certified)} "
+          f"lam_min={float(c.lam_min):.3e} "
+          f"stationarity={float(c.stationarity):.2e}")
 
     if truth is not None:
         R_true, t_true = truth

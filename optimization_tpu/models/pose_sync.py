@@ -43,6 +43,7 @@ class PoseSyncResult(NamedTuple):
     t: jnp.ndarray           # (n, d) world-frame translations (anchor at 0)
     rotation_result: Any     # TNTResult of the rotation stage
     translation_residual: jnp.ndarray  # |A t - b| of the recovery LS
+    certificate: Any = None  # rotation_sync.CertificateResult when requested
 
 
 def _transposed_rotation_data(src, dst, Mij, kappa=None):
@@ -132,8 +133,13 @@ def alignment_errors(R, t, R_true, t_true):
 
 def solve_pose_graph(graph, *, dtype=jnp.float32,
                      params: Optional[tnt.TNTParams] = None,
-                     anchor: int = 0, key=None) -> PoseSyncResult:
-    """Full SE(d) pose synchronization of an ``io.g2o.PoseGraph``."""
+                     anchor: int = 0, key=None,
+                     certify: bool = False) -> PoseSyncResult:
+    """Full SE(d) pose synchronization of an ``io.g2o.PoseGraph``.
+
+    With ``certify=True`` the rotation estimate is checked for *global*
+    optimality via the SE-Sync dual certificate (``rotation_sync.certify``:
+    smallest eigenvalue of S = L - Lambda via LOBPCG)."""
     src = jnp.asarray(graph.src)
     dst = jnp.asarray(graph.dst)
     Mij = jnp.asarray(graph.Rij, dtype)
@@ -145,5 +151,11 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
     t, tres = recover_translations(
         R, src, dst, jnp.asarray(graph.tij, dtype),
         weights=kappa, anchor=anchor)
+    cert = None
+    if certify:
+        # Certify in the transposed (chordal-model) variables used by the
+        # rotation stage, on the same measurement data.
+        cert = rs.certify(jnp.swapaxes(R, -1, -2),
+                          _transposed_rotation_data(src, dst, Mij, kappa))
     return PoseSyncResult(R=R, t=t, rotation_result=rres,
-                          translation_residual=tres)
+                          translation_residual=tres, certificate=cert)

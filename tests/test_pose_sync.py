@@ -116,3 +116,13 @@ def test_translation_recovery_weighted():
     _, err_t = _errors(R_true, np.asarray(t), R_true, t_true)
     assert err_t < 0.2
     assert float(resid) > 0  # noisy: nonzero residual reported
+
+
+def test_pose_graph_certification():
+    """certify=True checks global optimality of the rotation estimate via the
+    SE-Sync dual certificate (LOBPCG on S = L - Lambda)."""
+    g, R_true, t_true = _make_pose_graph(4, noise_rot=0.02, noise_t=0.01)
+    res = pose_sync.solve_pose_graph(g, dtype=jnp.float64, certify=True)
+    assert res.certificate is not None
+    assert float(res.certificate.stationarity) < 1e-6
+    assert bool(res.certificate.certified)

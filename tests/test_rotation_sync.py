@@ -127,3 +127,49 @@ def test_pipeline_with_weights():
     res = tnt.solve(rs.make_problem(), R0, PARAMS, data=wdata)
     assert int(res.status) == TNTStatus.GRADIENT
     assert float(rs.mean_rotation_error(res.x, R_true)) < 0.1
+
+
+def test_chordal_cost_equals_laplacian_quadratic_form():
+    """f(R) = tr(X' L X) with X = R.reshape(nd, d) — the identity the
+    certification stage rests on (weighted case)."""
+    R_true, data = _instance(8)
+    kappa = 1.0 + jnp.arange(data.src.shape[0], dtype=jnp.float64) / 7.0
+    wdata = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij,
+                                kappa=kappa)
+    R = rs.ROTATIONS.rand(jax.random.PRNGKey(2), N, D, D)
+    L = rs.connection_laplacian_op(wdata, N, D)
+    X = R.reshape(N * D, D)
+    np.testing.assert_allclose(float(rs.chordal_cost(R, wdata)),
+                               float(jnp.trace(X.T @ L(X))), rtol=1e-12)
+
+
+def test_certificate_noiseless_optimum():
+    _, clean = rs.random_instance(jax.random.PRNGKey(9), N, D,
+                                  extra_edges=2 * N, noise=0.0,
+                                  dtype=jnp.float64)
+    R0 = rs.spectral_init(clean, N, D)
+    res = tnt.solve(rs.make_problem(), R0, PARAMS, data=clean)
+    cert = rs.certify(res.x, clean)
+    assert float(cert.stationarity) < 1e-7
+    assert bool(cert.certified)
+    assert abs(float(cert.lam_min)) < 1e-4  # resolved to LOBPCG tau
+
+
+def test_certificate_noisy_optimum():
+    R_true, data = _instance(10, noise=0.05)
+    R0 = rs.spectral_init(data, N, D)
+    res = tnt.solve(rs.make_problem(), R0, PARAMS, data=data)
+    assert int(res.status) == TNTStatus.GRADIENT
+    cert = rs.certify(res.x, data)
+    assert float(cert.stationarity) < 1e-6
+    assert bool(cert.certified)   # SE-Sync certifies at this noise level
+
+
+def test_certificate_rejects_non_optimum():
+    _, data = _instance(11, noise=0.05)
+    R_bad = rs.ROTATIONS.rand(jax.random.PRNGKey(42), N, D, D)
+    cert = rs.certify(R_bad, data)
+    # Random rotations are not even stationary; the certificate must fail
+    assert float(cert.stationarity) > 1e-2
+    assert not bool(cert.certified)
+    assert float(cert.lam_min) < 0
