@@ -88,7 +88,7 @@ def lsqr(
     At: Callable[[Any], Any],
     b: Any,
     inner_x: Callable[[Any, Any], jnp.ndarray],
-    inner_y: Callable[[Any, Any], jnp.ndarray],
+    inner_y: Optional[Callable[[Any, Any], jnp.ndarray]] = None,
     *,
     max_iterations: int = 1000,
     lam: float = 0.0,
@@ -104,7 +104,12 @@ def lsqr(
     Abar_cond_est) -> bool`` is an optional pure stopping predicate evaluated
     at the end of each iteration (jittable analog of ``LSQRUserFunction``,
     reference ``IterativeSolvers.h:450-456,843-851``).
+
+    ``inner_y`` defaults to ``inner_x`` (the reference's square-type sugar
+    overload, ``IterativeSolvers.h:859-875``).
     """
+    if inner_y is None:
+        inner_y = inner_x
     # Validate only static (python-scalar) arguments; TNLS passes traced
     # tolerances (its forcing term) which are checked at construction time.
     _validate(lam if isinstance(lam, (int, float)) else 0.0,
