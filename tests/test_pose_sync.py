@@ -126,3 +126,40 @@ def test_pose_graph_certification():
     assert res.certificate is not None
     assert float(res.certificate.stationarity) < 1e-6
     assert bool(res.certificate.certified)
+
+
+def test_se2_pose_graph_pipeline(tmp_path):
+    """SE(2) end-to-end: write an EDGE_SE2 g2o file, load, solve."""
+    from optimization_tpu.io import load_g2o
+
+    rng = np.random.default_rng(5)
+    n = 16
+    th_true = jnp.asarray(rng.uniform(-np.pi, np.pi, n))
+    t_true = jnp.asarray(rng.normal(size=(n, 2)))
+
+    def rot(t):
+        return jnp.array([[jnp.cos(t), -jnp.sin(t)],
+                          [jnp.sin(t), jnp.cos(t)]])
+
+    R_true = jnp.stack([rot(t) for t in th_true])
+    src = list(range(n - 1)) + [int(rng.integers(n)) for _ in range(2 * n)]
+    dst = [i + 1 for i in range(n - 1)] + [int(rng.integers(n))
+                                           for _ in range(2 * n)]
+    lines = []
+    for i, j in zip(src, dst):
+        dth = float(th_true[j] - th_true[i])
+        dt = jnp.swapaxes(R_true[i], -1, -2) @ (t_true[j] - t_true[i])
+        info = "4.0 0.0 0.0 4.0 0.0 2.5"
+        lines.append(f"EDGE_SE2 {i} {j} {float(dt[0]):.14f} "
+                     f"{float(dt[1]):.14f} {dth:.14f} {info}")
+    p = tmp_path / "se2.g2o"
+    p.write_text("\n".join(lines) + "\n")
+
+    g = load_g2o(str(p))
+    assert g.dim == 2
+    res = pose_sync.solve_pose_graph(g, dtype=jnp.float64, certify=True)
+    err_R, err_t = _errors(res.R, res.t, np.asarray(R_true),
+                           np.asarray(t_true))
+    assert err_R < 1e-6
+    assert err_t < 1e-6
+    assert bool(res.certificate.certified)
