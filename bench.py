@@ -2,7 +2,7 @@
 
 Runs on whatever backend is live (the real TPU chip under the driver).  The
 flagship configuration is BASELINE config 2 at scale: Riemannian TNT
-(Rayleigh-quotient minimization) on S^{n-1} with n = 2^22 and a structured
+(Rayleigh-quotient minimization) on S^{n-1} with n = 2^24 and a structured
 SPD operator A = diag(d) + 3-point stencil.  The Hv product is the fused
 Pallas kernel ``diag_stencil_matvec`` (one pass: read d, read v, write Av —
 the 3n-word minimum for this operator).
@@ -98,8 +98,9 @@ def main():
     # --- achievable ceiling for the same stream pattern (measured roofline) ---
     @jax.jit
     def probe_chain(u):
+        # scale fused into the probe so both pipelines move exactly 3n words
         return jax.lax.fori_loop(
-            0, k, lambda _, u: stream3_probe(d, u) * 1e-3, u)
+            0, k, lambda _, u: stream3_probe(d, u, scale=1e-3), u)
 
     probe_chain(v).block_until_ready()
     t0 = time.perf_counter()

@@ -1,4 +1,4 @@
-"""Config 2: TNT Rayleigh-quotient minimization on S^{n-1}, n = 2^22.
+"""Config 2: TNT Rayleigh-quotient minimization on S^{n-1}, n = 2^24.
 
 The headline benchmark (same configuration as bench.py): the Hv product is
 the fused Pallas diag+stencil kernel; the metric is hv bandwidth as a
@@ -51,7 +51,7 @@ def main():
         return 3 * 4 * n * k / (time.perf_counter() - t0) / 1e9
 
     gbps = chain(lambda u: diag_stencil_matvec(d, u, scale=1e-3))
-    ceiling = chain(lambda u: stream3_probe(d, u) * 1e-3)
+    ceiling = chain(lambda u: stream3_probe(d, u, scale=1e-3))
     spec, kind = chip_bandwidth()
 
     params = tnt.TNTParams(

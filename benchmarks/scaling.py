@@ -69,7 +69,10 @@ def main():
                     help="rotations per instance")
     args = ap.parse_args()
 
-    if args.fake_cpu or len(jax.devices()) < 2:
+    # NB: the backend must be configured before anything initializes it
+    # (len(jax.devices()) counts as initialization), so --fake-cpu is an
+    # explicit opt-in rather than an auto-fallback.
+    if args.fake_cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", args.devices or 8)
     n_dev = args.devices or len(jax.devices())

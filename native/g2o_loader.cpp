@@ -77,7 +77,9 @@ Graph parse(const char* path) {
   while (std::getline(in, line)) {
     if (line.empty() || line[0] == '#') continue;
     std::istringstream ss(line);
+    tag.clear();  // a failed extraction must not reuse the previous tag
     ss >> tag;
+    if (tag.empty()) continue;  // whitespace-only / CRLF-blank lines
     if (tag == "VERTEX_SE2" || tag == "VERTEX_SE3:QUAT") {
       int id;
       ss >> id;

@@ -165,6 +165,13 @@ def _drive(adapter: _Adapter, params, chunk_iterations, observer,
         n = min(chunk_iterations, params.max_iterations - done)
         if n <= 0:
             final_status = adapter.iteration_limit
+            if not results:
+                # max_iterations == 0: mirror the monolithic solver (one
+                # zero-iteration run records the initial trace entry)
+                r = adapter.run(x, carry, 0)
+                results.append(r)
+                counts.append(0)
+                chunk_times.append(time.monotonic() - start)
             break
         r = adapter.run(x, carry, n)
         jax.block_until_ready(r.x)
@@ -284,6 +291,12 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
         n = min(chunk_iterations, params.max_iterations - done)
         if n <= 0:
             final_status = S.ITERATION_LIMIT.value
+            if not results:
+                p = dataclasses.replace(params, max_iterations=0)
+                r = admm.solve(problem, c, x, y, p, data, warm_start=ws)
+                results.append(r)
+                counts.append(0)
+                chunk_times.append(time.monotonic() - start)
             break
         p = dataclasses.replace(params, max_iterations=n)
         r = admm.solve(problem, c, x, y, p, data, warm_start=ws)

@@ -54,17 +54,6 @@ class OptimizerParams:
     log_iterates: bool = False
     verbose: bool = False
     precision: int = 3
-    # New (no reference counterpart): record wall-clock ``result.times[]``
-    # even when neither verbose output nor a time limit requires the host
-    # clock.  The reference always records ``result.time[]``
-    # (``Base/Concepts.h:76-80``); here clock reads are host callbacks, so
-    # they are opt-in to keep fully-on-device solves callback-free.
-    log_times: bool = False
-
-    @property
-    def _needs_clock(self) -> bool:
-        return (self.log_times or self.verbose
-                or math.isfinite(self.max_computation_time))
 
     def validate(self) -> None:
         if self.max_iterations < 0:

@@ -300,14 +300,7 @@ def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray, *,
         total += rem
     grid = total // block_rows
     C = block_rows * _LANES  # elements per block
-
-    vf = v2.reshape(-1)
-    # firsts[b] = first element of block b+1; lasts[b] = last of block b-1
-    starts = jnp.arange(1, grid + 1) * C
-    firsts = jnp.where(starts < total * _LANES, vf[starts % (total * _LANES)],
-                       0.0).astype(v.dtype)
-    ends = jnp.arange(0, grid) * C - 1
-    lasts = jnp.where(ends >= 0, vf[ends], 0.0).astype(v.dtype)
+    firsts, lasts = _boundaries(v2, grid, C, total, v.dtype)
 
     spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -324,12 +317,12 @@ def diag_stencil_matvec(d: jnp.ndarray, v: jnp.ndarray, *,
     return out.reshape(-1)[:n]
 
 
-def _copy3_kernel(d_ref, v_ref, o_ref):
-    o_ref[...] = (d_ref[...] + 2.0) * v_ref[...] * 1.0000001
+def _copy3_kernel(d_ref, v_ref, o_ref, *, scale):
+    o_ref[...] = (d_ref[...] + 2.0) * v_ref[...] * scale
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
-def stream3_probe(d: jnp.ndarray, v: jnp.ndarray,
+@functools.partial(jax.jit, static_argnames=("scale", "block_rows"))
+def stream3_probe(d: jnp.ndarray, v: jnp.ndarray, *, scale: float = 1.0,
                   block_rows: int = 2048) -> jnp.ndarray:
     """Minimal read-read-write kernel with the same stream pattern, block
     geometry, and pipeline as :func:`diag_stencil_matvec` but no stencil
@@ -350,7 +343,7 @@ def stream3_probe(d: jnp.ndarray, v: jnp.ndarray,
     spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        _copy3_kernel,
+        functools.partial(_copy3_kernel, scale=scale),
         out_shape=jax.ShapeDtypeStruct((total, _LANES), v.dtype),
         grid=(total // block_rows,),
         in_specs=[spec, spec],

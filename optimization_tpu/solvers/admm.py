@@ -169,7 +169,7 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
     accelerated = params.mode == ADMMMode.ACCELERATED
     balance = (params.penalty_adaptation_mode
                == ADMMPenaltyAdaptation.RESIDUAL_BALANCE)
-    n_trace = params.max_iterations
+    n_trace = max(params.max_iterations, 1)  # 0-iteration solves must trace
 
     A = lambda x: problem.A(x, data)
     B = lambda y: problem.B(y, data)

@@ -66,8 +66,9 @@ class GradientDescentResult(NamedTuple):
     gradient_norms: jnp.ndarray
     update_step_norms: jnp.ndarray       # per completed iteration
     linesearch_iterations: jnp.ndarray   # per completed iteration
-    times: jnp.ndarray                   # wall-clock seconds (NaN unless the
-    # host clock is enabled via log_times / verbose / max_computation_time)
+    # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
+    # filled by the host-chunked driver (core/driver.py).
+    times: jnp.ndarray
     iterates: Optional[Any] = None       # only when params.log_iterates
 
 
@@ -126,8 +127,12 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         status=jnp.asarray(GradientDescentStatus.RUNNING.value, jnp.int32),
         objective_values=nan_trace,
         gradient_norms=nan_trace,
-        update_step_norms=jnp.full((params.max_iterations,), jnp.nan, dtype),
-        linesearch_iterations=jnp.zeros((params.max_iterations,), jnp.int32),
+        # max(1, .) so zero-iteration solves still trace (the loop body
+        # indexes these even though it never executes)
+        update_step_norms=jnp.full((max(params.max_iterations, 1),), jnp.nan,
+                                   dtype),
+        linesearch_iterations=jnp.zeros((max(params.max_iterations, 1),),
+                                        jnp.int32),
         iterates=iterates0,
     )
 

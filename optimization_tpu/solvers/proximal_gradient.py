@@ -117,7 +117,7 @@ def solve(
 @partial(jax.jit, static_argnums=(0, 1))
 def _solve(problem: CompositeProblem, params: ProximalGradientParams,
            x0: Any, data: Any, warm_start) -> ProximalGradientResult:
-    n_trace = params.max_iterations
+    n_trace = max(params.max_iterations, 1)  # 0-iteration solves must trace
     accelerated = params.mode == ProximalGradientMode.ACCELERATED
 
     F0 = jnp.asarray(problem.value(x0, data))

@@ -144,7 +144,7 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
            user_function, x0: Any, data: Any, Delta0) -> TNLSResult:
     M = problem.manifold
     n_trace = params.max_iterations + 1
-    n_step = params.max_iterations
+    n_step = max(params.max_iterations, 1)  # 0-iteration solves must trace
 
     def residual_norms(x):
         Fx = problem.F(x, data)

@@ -164,7 +164,9 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
            user_function, x0: Any, data: Any, Delta0) -> TNTResult:
     M = problem.manifold
     n_trace = params.max_iterations + 1
-    n_step = params.max_iterations
+    # max(1, .) so zero-iteration solves still trace (the loop body indexes
+    # the step traces even though it never executes)
+    n_step = max(params.max_iterations, 1)
 
     def grad_and_norms(x):
         g = problem.rgrad(x, data)

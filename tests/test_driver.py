@@ -204,3 +204,14 @@ def test_tnls_chunked_equals_monolithic():
     np.testing.assert_array_equal(np.asarray(chunked.x), np.asarray(mono.x))
     np.testing.assert_allclose(chunked.trust_region_radius,
                                mono.trust_region_radius, equal_nan=True)
+
+
+def test_zero_max_iterations():
+    """max_iterations=0 mirrors the monolithic solver (no IndexError)."""
+    problem = RiemannianProblem(f=rosenbrock)
+    params = gradient_descent.GradientDescentParams(
+        max_iterations=0, gradient_tolerance=1e-6)
+    mono = gradient_descent.solve(problem, X0, params)
+    r = driver.drive(gradient_descent, problem, X0, params)
+    assert int(r.num_iterations) == int(mono.num_iterations) == 0
+    np.testing.assert_array_equal(np.asarray(r.x), np.asarray(X0))

@@ -139,3 +139,19 @@ def test_loaded_graph_drives_rotation_sync(tmp_path):
     err = float(rs.mean_rotation_error(res.x, jnp.asarray(R_true)))
     assert float(res.f) < 1e-8
     assert err < 1e-4
+
+
+@pytest.mark.skipif(not g2o.native_available(),
+                    reason="native loader unavailable")
+def test_native_tolerates_blank_and_crlf_lines(tmp_path):
+    """Whitespace-only and CRLF-terminated lines must not poison the parse
+    (regression: a stale tag from the previous line caused a spurious
+    'malformed EDGE' failure for the whole file)."""
+    p = tmp_path / "crlf.g2o"
+    _write_se3_file(p, n=4, extra=2, seed=7)
+    body = p.read_text().replace("\n", "\r\n")
+    p.write_text("# comment\r\n   \r\n" + body + "   \n\r\n")
+    gn = g2o.load_g2o(str(p), native=True)
+    gp = g2o.load_g2o(str(p), native=False)
+    np.testing.assert_array_equal(gn.src, gp.src)
+    np.testing.assert_allclose(gn.Rij, gp.Rij, atol=1e-12)
