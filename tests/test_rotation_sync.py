@@ -173,3 +173,25 @@ def test_certificate_rejects_non_optimum():
     assert float(cert.stationarity) > 1e-2
     assert not bool(cert.certified)
     assert float(cert.lam_min) < 0
+
+
+def test_certify_vmapped_fleet():
+    """Certification vmaps over a fleet sharing one edge topology."""
+    B = 3
+    R_trues, data = rs.random_fleet(jax.random.PRNGKey(12), B, N, D,
+                                    extra_edges=2 * N, noise=0.03,
+                                    dtype=jnp.float64)
+    R0s = jnp.stack([
+        rs.spectral_init(rs.RotationSyncData(src=data.src, dst=data.dst,
+                                             Rij=data.Rij[i]), N, D)
+        for i in range(B)])
+
+    def solve_and_certify(R0, Rij):
+        d_i = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=Rij)
+        res = tnt.solve(rs.make_problem(), R0, PARAMS, data=d_i)
+        cert = rs.certify(res.x, d_i)
+        return res.x, cert.certified, cert.stationarity
+
+    xs, certified, stat = jax.vmap(solve_and_certify)(R0s, data.Rij)
+    assert bool(jnp.all(certified))
+    assert float(jnp.max(stat)) < 1e-6
