@@ -188,7 +188,7 @@ class CertificateResult(NamedTuple):
 def certify(R: jnp.ndarray, data: RotationSyncData, *,
             eta: Optional[float] = None, nx: int = 8,
             max_iterations: int = 200, tau: float = 1e-3,
-            key=None) -> CertificateResult:
+            key=None, operator=None) -> CertificateResult:
     """Global-optimality certificate for a rotation-sync critical point.
 
     The chordal cost satisfies ``f(R) = tr(X' L X)`` with ``X = R.reshape
@@ -209,11 +209,17 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
 
     ``eta``: PSD slack; defaults to ``1e3 * eps(dtype) * |L|_est`` (the
     certificate eigenvalue is only resolvable to numerical precision).
+
+    ``operator``: optional replacement for the connection Laplacian — pass
+    the full marginalized SE-Sync operator (``pose_sync.marginalized_
+    problem``'s ``Q_op``) to certify the single-stage pose objective; the
+    certificate structure S = Q - BlockDiag(sym((QX)_i X_i')) is identical.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
     n, d = R.shape[0], R.shape[-1]
-    L = connection_laplacian_op(data, n, d)
+    L = (operator if operator is not None
+         else connection_laplacian_op(data, n, d))
     X = R.reshape(n * d, d)
 
     LX = L(X)

@@ -163,3 +163,82 @@ def test_se2_pose_graph_pipeline(tmp_path):
     assert err_R < 1e-6
     assert err_t < 1e-6
     assert bool(res.certificate.certified)
+
+
+class TestMarginalized:
+    def test_operator_symmetry_and_quadratic_form(self):
+        """Q_op is symmetric PSD and f(X) = tr(X' Q X) exactly."""
+        g, R_true, t_true = _make_pose_graph(5, noise_rot=0.02, noise_t=0.02)
+        src, dst = jnp.asarray(g.src), jnp.asarray(g.dst)
+        Mij, tij = jnp.asarray(g.Rij), jnp.asarray(g.tij)
+        problem, Q_op, n = pose_sync.marginalized_problem(src, dst, Mij, tij)
+        rng = np.random.default_rng(0)
+        U = jnp.asarray(rng.normal(size=(n * D, 4)))
+        V = jnp.asarray(rng.normal(size=(n * D, 4)))
+        np.testing.assert_allclose(float(jnp.sum(U * Q_op(V))),
+                                   float(jnp.sum(V * Q_op(U))), rtol=1e-9)
+        # PSD on random probes
+        quad = jnp.sum(U * Q_op(U), axis=0)
+        assert (np.asarray(quad) > -1e-9).all()
+        # f agrees with the quadratic form on a rotation point
+        Q = rs.ROTATIONS.rand(jax.random.PRNGKey(1), n, D, D)
+        X = Q.reshape(n * D, D)
+        np.testing.assert_allclose(
+            float(problem.value(Q)),
+            float(jnp.trace(X.T @ Q_op(X))), rtol=1e-9)
+
+    def test_hessian_second_order_model(self):
+        """The analytic Hessian gives a second-order model along the
+        retraction (O(t^3) error) — it cannot come from autodiff because the
+        inner CG while_loop is not differentiable."""
+        g, _, _ = _make_pose_graph(6, noise_rot=0.02, noise_t=0.02)
+        problem, _, n = pose_sync.marginalized_problem(
+            jnp.asarray(g.src), jnp.asarray(g.dst),
+            jnp.asarray(g.Rij), jnp.asarray(g.tij))
+        M = rs.ROTATIONS
+        X = M.rand(jax.random.PRNGKey(2), n, D, D)
+        V = M.proj(X, jax.random.normal(jax.random.PRNGKey(3), (n, D, D)))
+        V = V / jnp.sqrt(M.inner(X, V, V))
+        gr, hvp = problem.qm(X, None)
+        errs = []
+        for t in (1e-2, 1e-3):
+            fr = float(problem.value(M.retract(X, t * V)))
+            model = (float(problem.value(X)) + t * float(M.inner(X, gr, V))
+                     + 0.5 * t * t * float(M.inner(X, V, hvp(V))))
+            errs.append(abs(fr - model))
+        # O(t^3): shrinking t by 10 shrinks the error by ~1000
+        assert errs[1] < errs[0] * 1e-2
+
+    def test_noiseless_marginalized_exact_and_certified(self):
+        g, R_true, t_true = _make_pose_graph(7)
+        res = pose_sync.solve_pose_graph(g, dtype=jnp.float64,
+                                         marginalized=True, certify=True)
+        err_R, err_t = _errors(res.R, res.t, R_true, t_true)
+        assert err_R < 1e-6
+        assert err_t < 1e-6
+        assert float(res.rotation_result.f) < 1e-12
+        assert bool(res.certificate.certified)
+        assert float(res.certificate.stationarity) < 1e-6
+
+    def test_noisy_marginalized_beats_or_matches_two_stage(self):
+        """The single-stage objective uses the translation measurements to
+        inform rotations: its total SE(3) cost is <= the two-stage one."""
+        g, R_true, t_true = _make_pose_graph(8, noise_rot=0.05, noise_t=0.05)
+
+        def total_cost(res):
+            R, t = res.R, res.t
+            src, dst = jnp.asarray(g.src), jnp.asarray(g.dst)
+            Mij, tij = jnp.asarray(g.Rij), jnp.asarray(g.tij)
+            rot = jnp.sum((R[dst] - jnp.einsum("eij,ejk->eik", R[src], Mij))
+                          ** 2)
+            tr = jnp.sum((t[dst] - t[src]
+                          - jnp.einsum("eij,ej->ei", R[src], tij)) ** 2)
+            return float(rot + tr)
+
+        two = pose_sync.solve_pose_graph(g, dtype=jnp.float64)
+        single = pose_sync.solve_pose_graph(g, dtype=jnp.float64,
+                                            marginalized=True)
+        assert total_cost(single) <= total_cost(two) * (1 + 1e-8)
+        err_R, err_t = _errors(single.R, single.t, R_true, t_true)
+        assert err_R < 0.1
+        assert err_t < 0.3
