@@ -27,7 +27,7 @@ from ..manifolds.stiefel import ROTATIONS
 
 __all__ = ["RotationSyncData", "CertificateResult", "certify",
            "make_problem", "random_instance", "random_fleet",
-           "mean_rotation_error"]
+           "solve_robust", "mean_rotation_error"]
 
 
 class RotationSyncData(NamedTuple):
@@ -175,6 +175,64 @@ def spectral_init(data: RotationSyncData, n: int, d: int = 3,
     R = jnp.where(det[:, None, None] < 0,
                   R.at[..., :, 0].multiply(-1.0), R)
     return R
+
+
+def solve_robust(data: RotationSyncData, n: int, d: int = 3, *,
+                 params=None, gnc_steps: int = 6, mu0: float = 64.0,
+                 c2: Optional[float] = None, key=None):
+    """Outlier-robust rotation synchronization: Geman-McClure via graduated
+    non-convexity (GNC), implemented as iteratively reweighted chordal solves
+    over the per-edge ``kappa`` seam.
+
+    Each GNC stage solves the weighted chordal problem with TNT, then
+    updates the edge weights
+
+        w_e = ( mu c^2 / (mu c^2 + r_e) )^2,      r_e = |R_i - M_e R_j|_F^2,
+
+    while annealing ``mu`` from ``mu0`` down to 1 (mu -> inf is the convex
+    quadratic; mu = 1 is Geman-McClure).  ``c2`` is the inlier scale
+    (squared residual); defaults to the median residual of the initial fit.
+
+    Returns ``(R, weights, tnt_result)``: the robust estimate, the final
+    per-edge weights (outliers -> ~0), and the last TNT result.
+    """
+    from ..solvers import tnt as _tnt
+
+    if params is None:
+        f32 = data.Rij.dtype == jnp.float32
+        params = _tnt.TNTParams(
+            max_iterations=50,
+            gradient_tolerance=(2e-3 if f32 else 1e-8),
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+
+    def residuals(R):
+        Ri = R[data.src]
+        pred = jnp.einsum("eij,ejk->eik", data.Rij, R[data.dst],
+                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum((Ri - pred) ** 2, axis=(-1, -2))
+
+    base_kappa = (data.kappa if data.kappa is not None
+                  else jnp.ones_like(data.src, dtype=data.Rij.dtype))
+
+    R = spectral_init(data, n, d, key=key).astype(data.Rij.dtype)
+    r = residuals(R)
+    if c2 is None:
+        c2 = jnp.median(r)
+    c2 = jnp.maximum(jnp.asarray(c2, data.Rij.dtype),
+                     jnp.asarray(1e-12, data.Rij.dtype))
+
+    mus = jnp.logspace(jnp.log10(mu0), 0.0, gnc_steps).astype(data.Rij.dtype)
+    res = None
+    w = jnp.ones_like(r)
+    for mu in list(mus):
+        w = ((mu * c2) / (mu * c2 + r)) ** 2
+        wdata = RotationSyncData(src=data.src, dst=data.dst, Rij=data.Rij,
+                                 kappa=base_kappa * w)
+        res = _tnt.solve(make_problem(), R, params, data=wdata)
+        R = res.x
+        r = residuals(R)
+    return R, w, res
 
 
 class CertificateResult(NamedTuple):

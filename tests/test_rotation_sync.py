@@ -195,3 +195,33 @@ def test_certify_vmapped_fleet():
     xs, certified, stat = jax.vmap(solve_and_certify)(R0s, data.Rij)
     assert bool(jnp.all(certified))
     assert float(jnp.max(stat)) < 1e-6
+
+
+def test_robust_gnc_rejects_outliers():
+    """20% of the edges replaced by random rotations: the plain weighted
+    solve is dragged off, GNC recovers the truth and drives the outlier
+    weights to ~0."""
+    R_true, data = _instance(13, noise=0.02)
+    E = int(data.src.shape[0])
+    n_out = E // 5
+    k1, k2 = jax.random.split(jax.random.PRNGKey(99))
+    out_idx = jax.random.choice(k1, E, (n_out,), replace=False)
+    bad = rs.ROTATIONS.rand(k2, n_out, D, D).astype(jnp.float64)
+    Rij_corrupt = data.Rij.at[out_idx].set(bad)
+    cdata = rs.RotationSyncData(src=data.src, dst=data.dst, Rij=Rij_corrupt)
+
+    # Plain solve from spectral init: contaminated
+    R0 = rs.spectral_init(cdata, N, D)
+    plain = tnt.solve(rs.make_problem(), R0, PARAMS, data=cdata)
+    err_plain = float(rs.mean_rotation_error(plain.x, R_true))
+
+    R_rob, w, res = rs.solve_robust(cdata, N, D, params=PARAMS)
+    err_rob = float(rs.mean_rotation_error(R_rob, R_true))
+
+    assert err_rob < 0.05
+    assert err_rob < 0.5 * err_plain
+    # Outlier edges are down-weighted far below inliers
+    w = np.asarray(w)
+    inlier_mask = np.ones(E, bool)
+    inlier_mask[np.asarray(out_idx)] = False
+    assert np.median(w[~inlier_mask]) < 0.1 * np.median(w[inlier_mask])
