@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["drive", "drive_admm"]
+__all__ = ["drive", "drive_admm", "drive_lobpcg"]
 
 
 class _Adapter(NamedTuple):
@@ -45,10 +45,66 @@ class _Adapter(NamedTuple):
     iteration_limit: int   # status code meaning "ran out of iterations"
     elapsed_time: int      # status code for wall-clock stop
     fmt: Callable          # (result, i, k, prec) -> verbose line
+    name: str = ""         # solver display name for the final report
+    status_msg: dict = {}  # status code -> human explanation
+    final_fields: Optional[Callable] = None  # result -> [(label, value)]
 
 
 def _chunk_params(params, n: int):
     return dataclasses.replace(params, max_iterations=n)
+
+
+def _print_summary(name, reason, fields, elapsed, precision):
+    """Final status report (reference ``TNT.h:626-686``,
+    ``GradientDescent.h:353-395``, ``TNLS.h:669-726``,
+    ``ProximalGradient.h:412-445``, ``ADMM.h:597-620``): one line naming the
+    termination reason, one line with the final values and elapsed time."""
+    print(f"{name} terminated: {reason}", flush=True)
+    parts = [f"{k}: {v:.{precision}e}" for k, v in fields]
+    print("  " + "  ".join(parts + [f"elapsed: {elapsed:.3f} s"]), flush=True)
+
+
+# Human explanations of the termination statuses, mirroring the reference's
+# final-report branches (file:line above each dict).
+_GD_STATUS_MSG = {  # GradientDescent.h:353-395
+    1: "gradient norm tolerance reached",
+    2: "relative decrease tolerance reached",
+    3: "stepsize tolerance reached",
+    4: "line search failed to find a step giving sufficient decrease",
+    5: "iteration limit reached",
+    6: "computation-time limit reached",
+}
+_TNT_STATUS_MSG = {  # TNT.h:626-686
+    1: "gradient norm tolerance reached",
+    2: "preconditioned gradient norm tolerance reached",
+    3: "relative decrease tolerance reached",
+    4: "stepsize tolerance reached",
+    5: "trust-region radius collapsed below tolerance",
+    6: "iteration limit reached",
+    7: "computation-time limit reached",
+    8: "user-supplied stopping criterion",
+}
+_TNLS_STATUS_MSG = {  # TNLS.h:669-726
+    1: "root found: residual norm below tolerance",
+    2: "gradient norm tolerance reached",
+    3: "relative decrease tolerance reached",
+    4: "stepsize tolerance reached",
+    5: "trust-region radius collapsed below tolerance",
+    6: "iteration limit reached",
+    7: "computation-time limit reached",
+    8: "user-supplied stopping criterion",
+}
+_PG_STATUS_MSG = {  # ProximalGradient.h:412-445
+    1: "composite gradient tolerance reached",
+    2: "iteration limit reached",
+    3: "linesearch failed to find an acceptable stepsize",
+    4: "computation-time limit reached",
+}
+_ADMM_STATUS_MSG = {  # ADMM.h:597-620
+    1: "primal and dual residual tolerances reached",
+    2: "iteration limit reached",
+    3: "computation-time limit reached",
+}
 
 
 def _adapter_for(solver, problem, params, data, user_function):
@@ -67,7 +123,10 @@ def _adapter_for(solver, problem, params, data, user_function):
         return _Adapter(run, lambda r: (r.x, None),
                         ("objective_values", "gradient_norms"),
                         ("update_step_norms", "linesearch_iterations"),
-                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt,
+                        "Gradient descent", _GD_STATUS_MSG,
+                        lambda r: [("f", float(r.f)),
+                                   ("|g|", float(r.gradfx_norm))])
 
     if name == "tnt":
         from ..core.types import TNTStatus as S
@@ -90,7 +149,12 @@ def _adapter_for(solver, problem, params, data, user_function):
                          "trust_region_radius"),
                         ("inner_iterations", "update_step_norms",
                          "update_step_M_norms", "gain_ratios"),
-                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt,
+                        "TNT", _TNT_STATUS_MSG,
+                        lambda r: [("f", float(r.f)),
+                                   ("|g|", float(r.gradfx_norm)),
+                                   ("|M^-1 g|",
+                                    float(r.preconditioned_grad_f_x_norm))])
 
     if name == "tnls":
         from ..core.types import TNLSStatus as S
@@ -111,7 +175,10 @@ def _adapter_for(solver, problem, params, data, user_function):
                         ("objective_values", "gradient_norms",
                          "trust_region_radius"),
                         ("inner_iterations", "update_step_norms", "rho"),
-                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt,
+                        "TNLS", _TNLS_STATUS_MSG,
+                        lambda r: [("|F|", float(r.f)),
+                                   ("|gradL|", float(r.gradfx_norm))])
 
     if name == "proximal_gradient":
         from ..core.types import ProximalGradientStatus as S
@@ -128,7 +195,13 @@ def _adapter_for(solver, problem, params, data, user_function):
                         (),
                         ("objective_values", "composite_gradient_norms",
                          "relative_composite_gradient_norms"),
-                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt)
+                        S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt,
+                        "Proximal gradient", _PG_STATUS_MSG,
+                        lambda r: [("F", float(r.f)),
+                                   ("|G|", float(
+                                       r.composite_gradient_norms[
+                                           max(int(r.num_iterations) - 1, 0)])
+                                    if int(r.num_iterations) else float("nan"))])
 
     raise ValueError(f"No driver adapter for solver module '{name}'")
 
@@ -235,10 +308,16 @@ def _drive(adapter: _Adapter, params, chunk_iterations, observer,
         times[pos] = chunk_times[-1]
     updates["times"] = jnp.asarray(times)
 
-    return last._replace(
+    result = last._replace(
         num_iterations=jnp.asarray(total, jnp.int32),
         status=jnp.asarray(final_status, jnp.int32),
         **updates)
+    if verbose and adapter.final_fields is not None:
+        _print_summary(
+            adapter.name,
+            adapter.status_msg.get(final_status, str(final_status)),
+            adapter.final_fields(result), chunk_times[-1], params.precision)
+    return result
 
 
 def drive(solver, problem, x0, params, data=None, *,
@@ -339,6 +418,19 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
               "penalty_parameters", "iteration_types"):
         updates[f] = _stitch(results, counts, f, "step",
                              params.max_iterations, False)
+    if params.log_iterates and getattr(last, "iterates", None) is not None:
+        sliced = [jax.tree_util.tree_map(lambda l, n=i: l[:n], r.iterates)
+                  for r, i in zip(results, counts)]
+
+        def cat(*xs):
+            flat = jnp.concatenate(xs)
+            pad = params.max_iterations - flat.shape[0]
+            if pad > 0:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
+            return flat
+
+        updates["iterates"] = jax.tree_util.tree_map(cat, *sliced)
     times = np.full((params.max_iterations,), np.nan, np.float32)
     pos = 0
     for i, t in zip(counts, chunk_times):
@@ -346,7 +438,103 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
         pos += i
     updates["times"] = jnp.asarray(times)
 
-    return last._replace(
+    result = last._replace(
         num_iterations=jnp.asarray(done, jnp.int32),
         status=jnp.asarray(final_status, jnp.int32),
         **updates)
+    if verbose:
+        _print_summary(
+            "ADMM", _ADMM_STATUS_MSG.get(final_status, str(final_status)),
+            [("primal residual", float(result.primal_residuals[max(done - 1, 0)])
+              if done else float("nan")),
+             ("dual residual", float(result.dual_residuals[max(done - 1, 0)])
+              if done else float("nan"))],
+            chunk_times[-1], params.precision)
+    return result
+
+
+def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
+                 max_iterations=100, tau=1e-6, key=None,
+                 max_computation_time=float("inf"), verbose=False,
+                 precision=3, chunk_iterations: Optional[int] = None,
+                 observer: Optional[Callable[..., None]] = None,
+                 checkpoint_path: Optional[str] = None):
+    """Host-chunked standalone LOBPCG (the reference's public front-end,
+    ``LinearAlgebra/LOBPCG.h:131-140``): wall-clock limit, per-iteration
+    verbose lines, times, and a final status report, via the solver's
+    ``warm_start`` seam (chunked == monolithic iterates exactly).
+
+    Returns ``(result, times)``: the stitched LOBPCGResult (with
+    ``residual_trace``/``nc_trace`` covering all completed iterations) and
+    the per-iteration chunk-end timestamps.
+    """
+    from ..linalg.lobpcg import lobpcg
+
+    if chunk_iterations is None:
+        chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
+    chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
+
+    start = time.monotonic()
+    results, counts, chunk_times = [], [], []
+    ws = None
+    done = 0
+    timed_out = False
+
+    while True:
+        n = min(chunk_iterations, max_iterations - done)
+        if n <= 0:
+            break
+        r = lobpcg(A, B, T, X0=X0, m=m, nx=nx, nev=nev, max_iterations=n,
+                   tau=tau, key=key, warm_start=ws)
+        jax.block_until_ready(r.X)
+        t = time.monotonic() - start
+        i = int(r.num_iterations) - done   # iterations completed this chunk
+        results.append(r)
+        counts.append(i)
+        chunk_times.append(t)
+        ws = r.warm_start
+
+        if verbose:
+            for j in range(i):
+                print(f"Iter: {done + j:4d}  max|r|: "
+                      f"{float(r.residual_trace[j]):.{precision}e}  "
+                      f"nc: {int(r.nc_trace[j])}  time: {t:.3f}", flush=True)
+        if observer is not None:
+            observer(done + i, r, t)
+        if checkpoint_path is not None:
+            from .checkpoint import save_pytree
+            save_pytree(checkpoint_path, ws)
+
+        done += i
+        converged = int(r.num_converged) >= nev
+        if converged or i < n:
+            break
+        if t > max_computation_time:
+            timed_out = True
+            break
+
+    last = results[-1]
+    res_trace = np.full((max_iterations,), np.nan, np.float32)
+    nc_trace = np.full((max_iterations,), -1, np.int32)
+    times = np.full((max_iterations,), np.nan, np.float32)
+    pos = 0
+    for r, i, t in zip(results, counts, chunk_times):
+        res_trace[pos:pos + i] = np.asarray(r.residual_trace)[:i]
+        nc_trace[pos:pos + i] = np.asarray(r.nc_trace)[:i]
+        times[pos:pos + i] = t
+        pos += i
+
+    result = last._replace(residual_trace=jnp.asarray(res_trace),
+                           nc_trace=jnp.asarray(nc_trace))
+    if verbose:
+        nc = int(result.num_converged)
+        reason = ("computation-time limit reached" if timed_out else
+                  f"{nc}/{nev} wanted eigenpairs converged" if nc >= nev
+                  else "iteration limit reached")
+        _print_summary(
+            "LOBPCG", reason,
+            [("max residual", float(np.max(np.asarray(
+                result.residual_norms)))),
+             ("theta_0", float(result.theta[0]))],
+            chunk_times[-1], precision)
+    return result, jnp.asarray(times)

@@ -85,10 +85,13 @@ def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
         At = 0.5 * (At + At.T)
         # Deflated rows/cols of At are exactly zero; a sentinel diagonal
         # decouples them and sorts their fake eigenvalues last.  The sentinel
-        # must stay within a few orders of the active spectrum: TPU's eigh
-        # (QDWH-based) normalizes by |At|, so a 1/eps-scale sentinel pushes
-        # the active eigenvalues below f32 resolution (verified on hardware).
-        big = 16.0 * jnp.max(jnp.abs(At)) + 1.0
+        # is the Gershgorin upper bound (max absolute row sum) of At — a
+        # *guaranteed* bound on every eigenvalue (a max-|entry| heuristic can
+        # be beaten by a factor of n, e.g. the all-ones matrix), yet within
+        # a factor n of the spectrum's scale: TPU's eigh (QDWH-based)
+        # normalizes by |At|, so 1/eps-scale sentinels would push the active
+        # eigenvalues below f32 resolution (verified on hardware).
+        big = jnp.max(jnp.sum(jnp.abs(At), axis=1)) + 1.0
         At = At + jnp.diag(jnp.where(good, 0.0, big).astype(B.dtype))
         theta, U = jnp.linalg.eigh(At)
         C = _mm(W_half, U)
@@ -101,6 +104,18 @@ class LOBPCGResult(NamedTuple):
     num_iterations: jnp.ndarray
     num_converged: jnp.ndarray
     residual_norms: jnp.ndarray   # (nev,) at exit
+    # True iff every iteration's repaired pencil decoupled as designed (the
+    # masked fake pairs were all identified by their basis energy).  False
+    # flags a sentinel/eigenvector-mixing anomaly instead of silently
+    # returning wrong eigenpairs.
+    pencil_consistent: jnp.ndarray = jnp.asarray(True)
+    # Per-iteration traces (NaN/-1 beyond num_iterations): max residual over
+    # the nev wanted pairs, and the converged-prefix count.
+    residual_trace: Optional[jnp.ndarray] = None
+    nc_trace: Optional[jnp.ndarray] = None
+    # Full loop state; pass back as ``warm_start=`` to resume exactly (the
+    # host-chunked driver seam, core/driver.py:drive_lobpcg).
+    warm_start: Optional[tuple] = None
 
 
 class _State(NamedTuple):
@@ -114,6 +129,9 @@ class _State(NamedTuple):
     nc: jnp.ndarray
     r: jnp.ndarray
     done: jnp.ndarray
+    ok: jnp.ndarray
+    residual_trace: jnp.ndarray
+    nc_trace: jnp.ndarray
 
 
 def lobpcg(
@@ -129,6 +147,7 @@ def lobpcg(
     tau: float = 1e-6,
     key: Optional[jax.Array] = None,
     user_function: Optional[Callable[..., jnp.ndarray]] = None,
+    warm_start: Optional[tuple] = None,
 ) -> LOBPCGResult:
     """Smallest ``nev`` eigenpairs of ``A x = lambda B x``.
 
@@ -141,6 +160,10 @@ def lobpcg(
     - ``user_function(k, nev, theta, X, r, nc) -> bool``: optional pure
       stopping predicate (analog of ``LOBPCGUserFunction``,
       ``LOBPCG.h:86-93,322-324``).
+    - ``warm_start``: a ``result.warm_start`` tuple from a previous call with
+      the same operators/shapes: resumes the three-block iteration exactly
+      (the host-chunked driver seam; ``max_iterations`` then counts
+      *additional* iterations).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -168,31 +191,52 @@ def lobpcg(
     B2normest = (jnp.linalg.norm(Bop(omega)) / omega_norm
                  if B is not None else jnp.ones((), dtype))
 
-    # Sentinel eigenvalue for masked (locked) basis columns: *below* every
-    # possible Ritz value of the pencil (|theta| <= ~|A| for B ~ I), so fake
-    # pairs sort first and the active window starts at the known fake count.
-    # Kept within a few orders of the active spectrum — TPU's QDWH eigh
-    # normalizes by |At|, so 1/eps-scale sentinels destroy f32 accuracy.
-    neg_sent = -(16.0 * (A2normest + B2normest) + 1.0)
+    # Sentinel eigenvalue written into the A-diagonal of masked (locked)
+    # basis columns.  Its exact value no longer carries correctness weight:
+    # fake pairs are identified *post hoc* by their basis energy (the
+    # repaired pencil decouples exactly, so a fake eigenvector is supported
+    # on the masked coordinates, whose repaired B-diagonal is 1) and sorted
+    # last explicitly — the round-1 design required the sentinel to provably
+    # under-run the active spectrum, which a randomized norm estimate cannot
+    # guarantee (can undershoot ||A||_2 by ~sqrt(m/nx) on spiked spectra).
+    # A positive moderate value keeps it away from the wanted (smallest)
+    # Ritz values — degeneracy with an active Ritz value is the one channel
+    # that could still mix eigenvectors, and ``pencil_consistent`` reports it
+    # instead of silently corrupting the window.  (Moderate scale because
+    # TPU's QDWH eigh normalizes by |A|; 1/eps sentinels erase f32 accuracy.)
+    pos_sent = 16.0 * (A2normest + B2normest) + 1.0
 
-    # --- initialization: B-orthonormalize X0 (reference LOBPCG.h:218-230) ---
-    AX = A(X0)
-    BX = Bop(X0)
-    theta0, C0 = rayleigh_ritz(_mm(X0.T, AX), _mm(X0.T, BX))
-    X = _mm(X0, C0)
-    AX = _mm(AX, C0)
-    BX = _mm(BX, C0)
-    R = AX - BX * theta0[None, :]
+    n_trace = max(max_iterations, 1)
 
-    st0 = _State(
-        k=jnp.zeros((), jnp.int32),
-        X=X, AX=AX, BX=BX, R=R,
-        P=jnp.zeros_like(X),
-        theta=theta0,
-        nc=jnp.zeros((), jnp.int32),
-        r=jnp.linalg.norm(R[:, :nev], axis=0),
-        done=jnp.asarray(False),
-    )
+    if warm_start is None:
+        # --- initialization: B-orthonormalize X0 (reference LOBPCG.h:218-230)
+        AX = A(X0)
+        BX = Bop(X0)
+        theta0, C0 = rayleigh_ritz(_mm(X0.T, AX), _mm(X0.T, BX))
+        X = _mm(X0, C0)
+        AX = _mm(AX, C0)
+        BX = _mm(BX, C0)
+        R = AX - BX * theta0[None, :]
+        k0 = jnp.zeros((), jnp.int32)
+        st0 = _State(
+            k=k0,
+            X=X, AX=AX, BX=BX, R=R,
+            P=jnp.zeros_like(X),
+            theta=theta0,
+            nc=jnp.zeros((), jnp.int32),
+            r=jnp.linalg.norm(R[:, :nev], axis=0),
+            done=jnp.asarray(False),
+            ok=jnp.asarray(True),
+            residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
+            nc_trace=jnp.full((n_trace,), -1, jnp.int32),
+        )
+    else:
+        k0, carry = warm_start
+        st0 = _State(
+            k=k0, done=carry["nc"] >= nev,
+            residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
+            nc_trace=jnp.full((n_trace,), -1, jnp.int32),
+            **carry)
 
     col = jnp.arange(nx)
     col_s = jnp.arange(3 * nx)
@@ -216,22 +260,37 @@ def lobpcg(
         StAS = _mm(S.T, AS)
         StBS = _mm(S.T, BS)
 
-        # Repair the pencil on masked columns: unit B-diagonal, negative
-        # sentinel A-diagonal => exact decoupling; the fake eigenpairs sort
-        # *first*, so the active Ritz pairs occupy the static-width window
-        # starting at the (known) fake count.
+        # Repair the pencil on masked columns: unit B-diagonal, sentinel
+        # A-diagonal => exact decoupling into the active block plus trivial
+        # fake pairs with eigenvector e_i and eigenvalue pos_sent.
         mask_s = jnp.concatenate(
             [jnp.ones((nx,), bool), w_mask, p_mask]).astype(dtype)
         off = 1.0 - mask_s
         StAS = (StAS * mask_s[:, None] * mask_s[None, :]
-                + jnp.diag(neg_sent * off))
+                + jnp.diag(pos_sent * off))
         StBS = StBS * mask_s[:, None] * mask_s[None, :] + jnp.diag(off)
 
         theta_all, C = rayleigh_ritz(StAS, StBS)
+
+        # Classify fake pairs by their (repaired-)B energy on the masked
+        # coordinates: exactly 1 for fakes, 0 for active pairs (and 0 for
+        # rayleigh_ritz's own deflated columns, which carry a huge theta and
+        # therefore sort after every genuine pair anyway).  Sorting the key
+        # (theta, fakes -> +inf) then makes the wanted pairs the static
+        # leading window — no dynamic shapes, no reliance on sentinel
+        # placement relative to the (unknown) active spectrum.
+        energy = jnp.sum((C * off[:, None]) ** 2, axis=0)
+        is_fake = energy > 0.5
+        sort_key = jnp.where(is_fake, jnp.inf, theta_all)
+        order = jnp.argsort(sort_key)[:nx]
+        theta = theta_all[order]
+        # Zero the masked rows of the selected columns: with exact
+        # decoupling this is a no-op; under a sentinel/active eigenvalue
+        # collision it truncates any mixed-in locked-direction content.
+        C_x = C[:, order] * mask_s[:, None]
+
         n_fake = (3 * nx - jnp.sum(mask_s)).astype(jnp.int32)
-        theta = jax.lax.dynamic_slice(theta_all, (n_fake,), (nx,))
-        C_x = jax.lax.dynamic_slice(C, (jnp.zeros((), jnp.int32), n_fake),
-                                    (3 * nx, nx))
+        ok = st.ok & (jnp.sum(is_fake).astype(jnp.int32) == n_fake)
 
         X_new = _mm(S, C_x)
         AX_new = _mm(AS, C_x)
@@ -254,18 +313,28 @@ def lobpcg(
             done = done | jnp.asarray(
                 user_function(k, nev, theta, X_new, r, nc))
 
+        slot = k - 1 - k0
         return _State(k=k, X=X_new, AX=AX_new, BX=BX_new, R=R_new, P=P_new,
-                      theta=theta, nc=nc, r=r, done=done)
+                      theta=theta, nc=nc, r=r, done=done, ok=ok,
+                      residual_trace=st.residual_trace.at[slot].set(
+                          jnp.max(r)),
+                      nc_trace=st.nc_trace.at[slot].set(nc))
 
     def cond(st: _State):
-        return (st.k < max_iterations) & ~st.done
+        return (st.k - k0 < max_iterations) & ~st.done
 
     st = jax.lax.while_loop(cond, body, st0)
 
+    carry_out = dict(X=st.X, AX=st.AX, BX=st.BX, R=st.R, P=st.P,
+                     theta=st.theta, nc=st.nc, r=st.r, ok=st.ok)
     return LOBPCGResult(
         theta=st.theta[:nev],
         X=st.X[:, :nev],
         num_iterations=st.k,
         num_converged=st.nc,
         residual_norms=st.r,
+        pencil_consistent=st.ok,
+        residual_trace=st.residual_trace,
+        nc_trace=st.nc_trace,
+        warm_start=(st.k, carry_out),
     )

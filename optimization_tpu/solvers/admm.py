@@ -118,6 +118,9 @@ class ADMMResult(NamedTuple):
     # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
     # filled by the host-chunked driver (core/driver.py).
     times: Optional[jnp.ndarray] = None
+    # Per-iteration x history when ``params.log_iterates`` (reference
+    # ``ADMM.h:514-515`` via ``Base/Concepts.h:50-52``); else None.
+    iterates: Optional[Any] = None
     # Full internal loop state; pass back as ``warm_start=`` to resume the
     # iteration (including acceleration history) exactly.
     warm_start: Optional[tuple] = None
@@ -144,6 +147,7 @@ class _State(NamedTuple):
     m_trace: jnp.ndarray
     penalty_parameters: jnp.ndarray
     iteration_types: jnp.ndarray
+    iterates: Optional[Any]
 
 
 def solve(
@@ -196,6 +200,9 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         lam0, rho0, carry0 = warm_start
 
     nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    iterates0 = (jax.tree_util.tree_map(
+        lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype),
+        x0) if params.log_iterates else None)
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
         x=x0, y=y0, lam=lam0, rho=rho0,
@@ -206,6 +213,7 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         m_trace=nan_trace,
         penalty_parameters=nan_trace,
         iteration_types=jnp.zeros((n_trace,), jnp.int32),
+        iterates=iterates0,
     )
 
     def body(st: _State) -> _State:
@@ -261,13 +269,16 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         dual = jnp.where(itype == ADMMIterationType.RESTART.value,
                          st.dual_residual, dual_now)
 
-        # --- record traces ---
+        # --- record traces (iterate history per reference ADMM.h:514-515) ---
         traces = dict(
             primal_residuals=st.primal_residuals.at[st.k].set(primal),
             dual_residuals=st.dual_residuals.at[st.k].set(dual),
             m_trace=st.m_trace.at[st.k].set(m_k),
             penalty_parameters=st.penalty_parameters.at[st.k].set(st.rho),
             iteration_types=st.iteration_types.at[st.k].set(itype),
+            iterates=(None if st.iterates is None else
+                      jax.tree_util.tree_map(
+                          lambda tr, l: tr.at[st.k].set(l), st.iterates, x)),
         )
 
         # --- stopping criteria (reference ADMM.h:526-543) ---
@@ -339,5 +350,6 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         penalty_parameters=st.penalty_parameters,
         iteration_types=st.iteration_types,
         times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        iterates=st.iterates,
         warm_start=(st.lam, st.rho, carry_out),
     )

@@ -215,3 +215,89 @@ def test_zero_max_iterations():
     r = driver.drive(gradient_descent, problem, X0, params)
     assert int(r.num_iterations) == int(mono.num_iterations) == 0
     np.testing.assert_array_equal(np.asarray(r.x), np.asarray(X0))
+
+
+def _small_lasso_admm():
+    """2-d accelerated LASSO ADMM fixture shared by the new parity tests."""
+    key_A = jnp.array([[2.0, 0.3], [0.1, 1.5], [0.4, -0.2]])
+    b = jnp.array([1.0, 0.5, -0.3])
+    mu = 0.05
+    AtA = key_A.T @ key_A
+    Atb = key_A.T @ b
+
+    def minLx(y, lam, rho, data):
+        return jnp.linalg.solve(AtA + rho * jnp.eye(2), Atb + rho * y - lam)
+
+    def minLy(x, lam, rho, data):
+        return prox.soft_threshold(x + lam / rho, mu / rho)
+
+    return admm.ADMMProblem(
+        minLx=minLx, minLy=minLy,
+        A=lambda x, d: x, B=lambda y, d: -y, At=lambda r, d: r)
+
+
+class TestReferenceHostParity:
+    """Round-2 parity items: ADMM iterate logging (ref ``ADMM.h:514-515``) and
+    the final verbose status report every reference solver prints
+    (``TNT.h:626-686``, ``ADMM.h:597-620``)."""
+
+    def test_admm_log_iterates_roundtrip(self):
+        problem = _small_lasso_admm()
+        params = admm.ADMMParams(
+            max_iterations=60, mode=admm.ADMMMode.ACCELERATED,
+            eps_abs_pri=1e-7, eps_abs_dual=1e-7, eps_rel=1e-8,
+            log_iterates=True)
+        c = jnp.zeros(2)
+        mono = admm.solve(problem, c, X0, X0, params)
+        k = int(mono.num_iterations)
+        assert mono.iterates is not None
+        # Logged iterates are the per-iteration x values: the last logged
+        # entry is the returned x.
+        np.testing.assert_array_equal(np.asarray(mono.iterates)[k - 1],
+                                      np.asarray(mono.x))
+        assert np.isfinite(np.asarray(mono.iterates)[:k]).all()
+        # Chunked run logs the identical history.
+        chunked = driver.drive_admm(problem, c, X0, X0, params,
+                                    chunk_iterations=7)
+        np.testing.assert_array_equal(
+            np.asarray(chunked.iterates)[:k], np.asarray(mono.iterates)[:k])
+
+    def test_admm_log_iterates_off_by_default(self):
+        problem = _small_lasso_admm()
+        params = admm.ADMMParams(max_iterations=5)
+        r = admm.solve(problem, jnp.zeros(2), X0, X0, params)
+        assert r.iterates is None
+
+    def test_final_report_gd(self, capsys):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=3, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            verbose=True)
+        driver.drive(gradient_descent, problem, X0, params)
+        out = capsys.readouterr().out
+        assert "Gradient descent terminated: iteration limit reached" in out
+        assert "f:" in out and "elapsed:" in out
+
+    def test_final_report_tnt_gradient(self, capsys):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = tnt.TNTParams(
+            max_iterations=100, gradient_tolerance=1e-9,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0, verbose=True)
+        r = driver.drive(tnt, problem, X0, params, chunk_iterations=10)
+        out = capsys.readouterr().out
+        assert int(r.status) == TNTStatus.GRADIENT
+        assert "TNT terminated: gradient norm tolerance reached" in out
+        assert "|M^-1 g|:" in out
+
+    def test_final_report_admm(self, capsys):
+        problem = _small_lasso_admm()
+        params = admm.ADMMParams(max_iterations=4, verbose=True,
+                                 eps_abs_pri=1e-12, eps_abs_dual=1e-12,
+                                 eps_rel=1e-14)
+        driver.drive_admm(problem, jnp.zeros(2), X0, X0, params,
+                          chunk_iterations=2)
+        out = capsys.readouterr().out
+        assert "ADMM terminated: iteration limit reached" in out
+        assert "primal residual:" in out

@@ -148,3 +148,83 @@ def test_vmapped_batch():
     for b in range(B):
         want = np.linspace(1.0, 50.0, m_)[:nev_] + float(shifts[b])
         np.testing.assert_allclose(np.asarray(thetas[b]), want, atol=1e-4)
+
+
+class TestRound2Robustness:
+    """Round-2: energy-classified fake pairs (no reliance on sentinel
+    placement), warm-start seam, and the host-chunked standalone driver
+    (reference front-end parity, ``LOBPCG.h:131-140``)."""
+
+    def _diag_problem(self, m=400, nx=8, nev=4, spike=None):
+        d = jnp.linspace(1.0, float(m), m, dtype=jnp.float64)
+        if spike is not None:
+            d = d.at[0].set(spike)
+        A = lambda S: d[:, None] * S
+        T = lambda S: S / jnp.abs(d)[:, None]
+        return d, A, T
+
+    def test_pencil_consistent_under_locking(self):
+        d, A, T = self._diag_problem()
+        res = lobpcg(A, T=T, m=400, nx=8, nev=4, max_iterations=100,
+                     tau=1e-8, key=jax.random.PRNGKey(1))
+        assert int(res.num_converged) >= 4
+        assert bool(res.pencil_consistent)
+        np.testing.assert_allclose(np.asarray(res.theta),
+                                   np.arange(1.0, 5.0), atol=1e-4)
+
+    def test_spiked_negative_spectrum(self):
+        """One dominant negative eigenvalue (the certification use case the
+        round-1 sentinel could misorder: a randomized Frobenius-style norm
+        estimate may undershoot |A|_2 by ~sqrt(m/nx) on spiked spectra)."""
+        m = 2048
+        d, A, T = self._diag_problem(m=m, spike=-1e5)
+        res = lobpcg(A, T=T, m=m, nx=8, nev=3, max_iterations=200,
+                     tau=1e-8, key=jax.random.PRNGKey(2))
+        assert bool(res.pencil_consistent)
+        assert int(res.num_converged) >= 3
+        np.testing.assert_allclose(np.asarray(res.theta),
+                                   [-1e5, 2.0, 3.0], rtol=1e-6)
+
+    def test_warm_start_resumes_exactly(self):
+        d, A, T = self._diag_problem()
+        X0 = jax.random.normal(jax.random.PRNGKey(5), (400, 8),
+                               jnp.float64)
+        mono = lobpcg(A, T=T, X0=X0, nev=4, max_iterations=40, tau=1e-10)
+        assert int(mono.num_iterations) > 4   # the split below is partial
+        r1 = lobpcg(A, T=T, X0=X0, nev=4, max_iterations=4, tau=1e-10)
+        r2 = lobpcg(A, T=T, X0=X0, nev=4, max_iterations=36, tau=1e-10,
+                    warm_start=r1.warm_start)
+        assert int(r2.num_iterations) == int(mono.num_iterations)
+        np.testing.assert_array_equal(np.asarray(r2.theta),
+                                      np.asarray(mono.theta))
+        np.testing.assert_array_equal(np.asarray(r2.X), np.asarray(mono.X))
+
+    def test_driver_chunked_equals_monolithic(self, capsys):
+        from optimization_tpu.core.driver import drive_lobpcg
+
+        d, A, T = self._diag_problem()
+        X0 = jax.random.normal(jax.random.PRNGKey(5), (400, 8), jnp.float64)
+        mono = lobpcg(A, T=T, X0=X0, nev=4, max_iterations=100, tau=1e-8)
+        res, times = drive_lobpcg(A, T=T, X0=X0, nev=4, max_iterations=100,
+                                  tau=1e-8, chunk_iterations=7, verbose=True,
+                                  precision=4)
+        assert int(res.num_iterations) == int(mono.num_iterations)
+        np.testing.assert_array_equal(np.asarray(res.theta),
+                                      np.asarray(mono.theta))
+        k = int(res.num_iterations)
+        trace = np.asarray(res.residual_trace)
+        assert np.isfinite(trace[:k]).all()
+        assert np.all(np.isfinite(np.asarray(times)[:k]))
+        out = capsys.readouterr().out
+        assert out.count("Iter:") == k
+        assert "LOBPCG terminated: 4/4 wanted eigenpairs converged" in out
+
+    def test_driver_iteration_limit_report(self, capsys):
+        from optimization_tpu.core.driver import drive_lobpcg
+
+        d, A, T = self._diag_problem()
+        res, _ = drive_lobpcg(A, T=T, m=400, nx=8, nev=4, max_iterations=3,
+                              tau=1e-14, chunk_iterations=2, verbose=True,
+                              key=jax.random.PRNGKey(0))
+        out = capsys.readouterr().out
+        assert "LOBPCG terminated: iteration limit reached" in out
