@@ -26,12 +26,24 @@ from optimization_tpu.models import pose_sync, rotation_sync as rs
 
 
 def rotmat_to_quat(R):
-    w = np.sqrt(max(0.0, 1 + np.trace(R))) / 2
-    if w > 1e-9:
-        return ((R[2, 1] - R[1, 2]) / (4 * w),
-                (R[0, 2] - R[2, 0]) / (4 * w),
-                (R[1, 0] - R[0, 1]) / (4 * w), w)
-    return (1.0, 0.0, 0.0, 0.0)
+    """Rotation matrix -> (x, y, z, w) via the standard largest-pivot
+    extraction (branch on the largest of the trace and the three diagonal
+    entries), which stays well-conditioned for rotations near pi — the
+    w-only formula loses precision there and returns a fixed wrong axis in
+    the degenerate branch."""
+    t = np.trace(R)
+    if t > max(R[0, 0], R[1, 1], R[2, 2]):
+        s = 2.0 * np.sqrt(1.0 + t)
+        return ((R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                (R[1, 0] - R[0, 1]) / s, 0.25 * s)
+    i = int(np.argmax([R[0, 0], R[1, 1], R[2, 2]]))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = 2.0 * np.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k])
+    q = [0.0, 0.0, 0.0, (R[k, j] - R[j, k]) / s]
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    return (q[0], q[1], q[2], q[3])
 
 
 def synthesize_g2o(path, n=64, noise=0.03, seed=0):

@@ -22,7 +22,8 @@ from typing import NamedTuple, Optional
 
 import numpy as np
 
-__all__ = ["PoseGraph", "load_g2o", "native_available", "build_native"]
+__all__ = ["PoseGraph", "load_g2o", "save_g2o", "rotmat_to_quat",
+           "native_available", "build_native"]
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -178,6 +179,86 @@ def _load_python(path: str) -> PoseGraph:
         src=np.asarray(src, np.int32), dst=np.asarray(dst, np.int32),
         Rij=np.asarray(Rij), tij=np.asarray(tij),
         kappa=np.asarray(kappa))
+
+
+def rotmat_to_quat(R: np.ndarray) -> tuple:
+    """Rotation matrix -> (x, y, z, w), largest-pivot extraction (branch on
+    the largest of the trace and the three diagonal entries) — numerically
+    stable for rotations arbitrarily close to pi, where the naive w-based
+    formula degenerates."""
+    t = np.trace(R)
+    if t > max(R[0, 0], R[1, 1], R[2, 2]):
+        s = 2.0 * math.sqrt(1.0 + t)
+        return ((R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                (R[1, 0] - R[0, 1]) / s, 0.25 * s)
+    i = int(np.argmax([R[0, 0], R[1, 1], R[2, 2]]))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = 2.0 * math.sqrt(1.0 + R[i, i] - R[j, j] - R[k, k])
+    q = [0.0, 0.0, 0.0, (R[k, j] - R[j, k]) / s]
+    q[i] = 0.25 * s
+    q[j] = (R[j, i] + R[i, j]) / s
+    q[k] = (R[k, i] + R[i, k]) / s
+    return (q[0], q[1], q[2], q[3])
+
+
+def save_g2o(path: str, graph: PoseGraph, poses=None, tau=None,
+             precision: int = 12) -> None:
+    """Write a :class:`PoseGraph` in the standard g2o text convention
+    (EDGE_SE2 / EDGE_SE3:QUAT with diagonal information matrices carrying
+    ``tau`` in the translational block and ``graph.kappa`` in the rotational
+    block) — the round-trip counterpart of :func:`load_g2o`.
+
+    ``poses``: optional ``(R, t)`` arrays of absolute poses; when given,
+    VERTEX lines are written too (useful as an initial guess for other g2o
+    consumers).  ``tau``: per-edge translational weights (default 1).
+    """
+    d = graph.dim
+    E = len(graph.src)
+    kappa = (np.asarray(graph.kappa, np.float64) if graph.kappa is not None
+             else np.ones(E))
+    tau = np.ones(E) if tau is None else np.asarray(tau, np.float64)
+    p = precision
+    lines = []
+    if poses is not None:
+        R_abs, t_abs = (np.asarray(poses[0], np.float64),
+                        np.asarray(poses[1], np.float64))
+        for i in range(R_abs.shape[0]):
+            if d == 2:
+                th = math.atan2(R_abs[i, 1, 0], R_abs[i, 0, 0])
+                lines.append(f"VERTEX_SE2 {i} {t_abs[i, 0]:.{p}f} "
+                             f"{t_abs[i, 1]:.{p}f} {th:.{p}f}")
+            else:
+                x, y, z, w = rotmat_to_quat(R_abs[i])
+                lines.append(
+                    f"VERTEX_SE3:QUAT {i} "
+                    f"{t_abs[i, 0]:.{p}f} {t_abs[i, 1]:.{p}f} "
+                    f"{t_abs[i, 2]:.{p}f} "
+                    f"{x:.{p}f} {y:.{p}f} {z:.{p}f} {w:.{p}f}")
+    Rij = np.asarray(graph.Rij, np.float64)
+    tij = np.asarray(graph.tij, np.float64)
+    for e in range(E):
+        i, j = int(graph.src[e]), int(graph.dst[e])
+        if d == 2:
+            th = math.atan2(Rij[e, 1, 0], Rij[e, 0, 0])
+            # 3x3 upper-tri info: diag (tau, tau, kappa) at slots 0, 3, 5
+            info = [tau[e], 0.0, 0.0, tau[e], 0.0, kappa[e]]
+            info_s = " ".join(f"{v:.{p}g}" for v in info)
+            lines.append(f"EDGE_SE2 {i} {j} {tij[e, 0]:.{p}f} "
+                         f"{tij[e, 1]:.{p}f} {th:.{p}f} {info_s}")
+        else:
+            x, y, z, w = rotmat_to_quat(Rij[e])
+            # 6x6 upper-tri info: diagonal slots 0, 6, 11 (translation) and
+            # 15, 18, 20 (rotation) — matching the loader's kappa extraction
+            info = [0.0] * 21
+            info[0] = info[6] = info[11] = tau[e]
+            info[15] = info[18] = info[20] = kappa[e]
+            info_s = " ".join(f"{v:.{p}g}" for v in info)
+            lines.append(
+                f"EDGE_SE3:QUAT {i} {j} "
+                f"{tij[e, 0]:.{p}f} {tij[e, 1]:.{p}f} {tij[e, 2]:.{p}f} "
+                f"{x:.{p}f} {y:.{p}f} {z:.{p}f} {w:.{p}f} {info_s}")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def load_g2o(path: str, native: Optional[bool] = None) -> PoseGraph:

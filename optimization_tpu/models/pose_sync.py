@@ -36,7 +36,7 @@ from ..solvers import tnt
 from . import rotation_sync as rs
 
 __all__ = ["PoseSyncResult", "solve_pose_graph", "recover_translations",
-           "marginalized_problem", "alignment_errors"]
+           "marginalized_problem", "solve_robust_se", "alignment_errors"]
 
 
 class PoseSyncResult(NamedTuple):
@@ -110,55 +110,79 @@ def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
 
 
 def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
-                               rtol=None):
-    """Matrix-free CG solve of the weighted graph Laplacian L_tau z = r
+                               rtol=None, jacobi=True, with_iters=False):
+    """Matrix-free (P)CG solve of the weighted graph Laplacian L_tau z = r
     (L_tau = A' diag(tau) A with A the edge incidence operator), columnwise
     on (n, k) right-hand sides.  Consistent singular systems (columns of r
     sum to zero) stay in range(L_tau) when started at zero, so the minimum-
     norm solution comes out of plain CG.
 
+    ``jacobi=True`` preconditions with the Laplacian diagonal (the weighted
+    vertex degree) — the preconditioner seam of the reference
+    (``Riemannian/TNT.h:122-125``) instantiated for the inner solve; it
+    collapses the iteration count on graphs whose tau weights or degrees
+    span orders of magnitude.  Each preconditioned residual is re-projected
+    onto range(L_tau) = {x : sum(x) = 0} (the diagonal scaling leaves the
+    consistent subspace; the projection keeps CG well-posed on the singular
+    system).
+
     ``rtol`` defaults to ``50 * eps(dtype)`` — pushing f32 CG past its
     attainable residual makes the recurrences diverge (loss of orthogonality)
     and silently corrupts the marginalized objective, so the tolerance must
     track the dtype.  A curvature-breakdown guard stops the iteration when
-    roundoff makes <p, L p> non-positive."""
+    roundoff makes <p, L p> non-positive.
+
+    ``with_iters=True`` makes the returned solve give ``(z, k)`` (iteration
+    count, for preconditioner benchmarking) instead of ``z``."""
+    deg = (jnp.zeros((n,), tau.dtype)
+           .at[src].add(tau).at[dst].add(tau))
+    inv_deg = 1.0 / jnp.maximum(deg, jnp.finfo(tau.dtype).tiny)
 
     def L(z):
         dz = tau[:, None] * (z[dst] - z[src])
         out = jnp.zeros_like(z)
         return out.at[dst].add(dz).at[src].add(-dz)
 
+    def M(res):
+        if not jacobi:
+            return res
+        v = res * inv_deg[:, None]
+        return v - jnp.mean(v, axis=0, keepdims=True)
+
     def solve(r):
         tol = (50.0 * jnp.finfo(r.dtype).eps if rtol is None else rtol)
         r0n = jnp.sqrt(jnp.sum(r * r))
 
         def body(c):
-            k, z, res, p, rs, ok = c
+            k, z, res, p, rz, ok = c
             Lp = L(p)
             curv = jnp.sum(p * Lp)
             good = curv > 0
-            alpha = jnp.where(good, rs / jnp.where(good, curv, 1.0), 0.0)
+            alpha = jnp.where(good, rz / jnp.where(good, curv, 1.0), 0.0)
             z = z + alpha * p
             res = res - alpha * Lp
-            rs_new = jnp.sum(res * res)
-            p = res + (rs_new / rs) * p
-            return (k + 1, z, res, p, rs_new, good)
+            v = M(res)
+            rz_new = jnp.sum(res * v)
+            p = v + (rz_new / rz) * p
+            return (k + 1, z, res, p, rz_new, good & (rz_new > 0))
 
         def cond(c):
-            k, z, res, p, rs, ok = c
-            return ok & (k < max_iterations) & (jnp.sqrt(rs) > tol * r0n)
+            k, z, res, p, rz, ok = c
+            return ok & (k < max_iterations) & (jnp.sqrt(jnp.sum(res * res))
+                                                > tol * r0n)
 
         z0 = jnp.zeros_like(r)
-        _, z, _, _, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), z0, r, r,
-                         jnp.sum(r * r), jnp.asarray(True)))
-        return z
+        v0 = M(r)
+        k, z, _, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), z0, r, v0,
+                         jnp.sum(r * v0), jnp.asarray(True)))
+        return (z, k) if with_iters else z
 
     return solve
 
 
 def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
-                         *, cg_iterations=400):
+                         *, n=None, cg_iterations=400, jacobi=True):
     """The full SE-Sync rotation problem with translations marginalized out.
 
     The SE(d) cost  sum_e kappa_e |R_j - R_i M_e|^2 + tau_e |t_j - t_i -
@@ -181,7 +205,11 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     on (n d, k) blocks (for certification via ``rotation_sync.certify``).
     """
     d = Mij.shape[-1]
-    n = int(jnp.maximum(jnp.max(src), jnp.max(dst))) + 1
+    if n is None:
+        # Edge-derived fallback; undercounts graphs with trailing isolated
+        # vertices and concretizes traced indices — callers with a known
+        # vertex count (solve_pose_graph passes graph.n_vertices) supply n.
+        n = int(jnp.maximum(jnp.max(src), jnp.max(dst))) + 1
     dtype = Mij.dtype
     if tau is None:
         tau = jnp.ones_like(src, dtype=dtype)
@@ -191,7 +219,8 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
     L_conn = rs.connection_laplacian_op(rot_data, n, d)
     lap_solve = _weighted_laplacian_solver(src, dst, tau, n,
-                                           max_iterations=cg_iterations)
+                                           max_iterations=cg_iterations,
+                                           jacobi=jacobi)
 
     tijd = tij.astype(dtype)
 
@@ -274,6 +303,121 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     return problem, Q_op, n
 
 
+def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
+                    params: Optional[tnt.TNTParams] = None,
+                    gnc_steps: int = 6, mu0: float = 64.0,
+                    c2_rot=None, c2_tr=None, anchor: int = 0, key=None,
+                    weight_floor: float = 1e-4):
+    """Outlier-robust SE(d) pose synchronization: Geman-McClure graduated
+    non-convexity over the *marginalized* single-stage objective, reweighting
+    both measurement channels of every edge through their information seams
+    — kappa (rotation) and tau (translation).
+
+    This extends ``rotation_sync.solve_robust`` (rotation-only GNC) to the
+    full SE(d) cost: each GNC stage solves the translation-marginalized
+    problem (:func:`marginalized_problem`) with the current per-edge weights,
+    recovers translations, and updates
+
+        w_e^rot = ( mu c_rot^2 / (mu c_rot^2 + r_e^rot) )^2,
+        w_e^tr  = ( mu c_tr^2  / (mu c_tr^2  + r_e^tr ) )^2,
+
+    with  r_e^rot = kappa_e |R_j - R_i M_e|_F^2  and
+    r_e^tr = tau_e |t_j - t_i - R_i t_e|^2,  annealing mu from ``mu0`` down
+    to 1 (mu -> inf is the convex quadratic; mu = 1 is Geman-McClure).  A
+    rotation-outlier edge is thus also down-weighted in the translation
+    recovery and vice versa — translation-only outliers (wrong loop-closure
+    offsets with a correct relative rotation) are caught through the tau
+    seam, which the rotation-only GNC cannot see.
+
+    ``c2_rot`` / ``c2_tr`` are the inlier scales (squared residuals);
+    default to the median residuals of the initial fit.
+
+    ``weight_floor`` clamps the weights *used in the solves* from below
+    (the returned weights are unfloored): Geman-McClure drives outlier
+    weights to ~(c^2/r)^2 ~ 1e-9, and a translational weight that small
+    makes the marginalized objective's inner Laplacian effectively
+    disconnected (condition ~ 1/w), stalling its CG; the floor caps the
+    conditioning while still suppressing outliers by 1/weight_floor.
+
+    Returns ``(R, t, w_rot, w_tr, tnt_result)``.
+    """
+    dtype = Mij.dtype
+    base_kappa = (kappa if kappa is not None
+                  else jnp.ones_like(src, dtype=dtype))
+    base_tau = (tau if tau is not None
+                else jnp.ones_like(src, dtype=dtype))
+
+    def rot_residuals(R):
+        pred = jnp.einsum("eij,ejk->eik", R[src], Mij,
+                          precision=jax.lax.Precision.HIGHEST)
+        return base_kappa * jnp.sum((R[dst] - pred) ** 2, axis=(-1, -2))
+
+    def tr_residuals(R, t):
+        pred = jnp.einsum("eij,ej->ei", R[src], tij,
+                          precision=jax.lax.Precision.HIGHEST)
+        return base_tau * jnp.sum((t[dst] - t[src] - pred) ** 2, axis=-1)
+
+    if params is None:
+        f32 = dtype == jnp.float32
+        params = tnt.TNTParams(
+            max_iterations=60,
+            gradient_tolerance=(2e-3 if f32 else 1e-8),
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+
+    # Initial fit: spectral rotations + an IRLS-robustified translation fit.
+    # The translation recovery is *linear* in t, so a plain least-squares
+    # initial fit is dragged arbitrarily far by large translation outliers —
+    # which inflates every edge residual and hence the median-based inlier
+    # scale c2_tr by orders of magnitude, neutering the GNC weights (the
+    # first marginalized stage then chases the corrupted translations and
+    # destroys the rotations; observed on the 20%-outlier fixture).  A few
+    # Geman-McClure IRLS rounds on the translation-only subproblem make the
+    # initial fit, and therefore the scale estimate, outlier-proof.
+    rot_data = _transposed_rotation_data(src, dst, Mij, base_kappa)
+    Q = rs.spectral_init(rot_data, n, Mij.shape[-1], key=key).astype(dtype)
+    R = jnp.swapaxes(Q, -1, -2)
+    wt = jnp.ones_like(src, dtype=dtype)
+    for _ in range(5):
+        t, _ = recover_translations(R, src, dst, tij,
+                                    weights=base_tau * wt, anchor=anchor)
+        r_tr = tr_residuals(R, t)
+        c2t_cur = jnp.maximum(jnp.median(r_tr),
+                              jnp.asarray(1e-12, dtype))
+        wt = (c2t_cur / (c2t_cur + r_tr)) ** 2
+    r_rot = rot_residuals(R)
+    r_tr = tr_residuals(R, t)
+
+    def scale(c2, r):
+        c = jnp.median(r) if c2 is None else jnp.asarray(c2, dtype)
+        return jnp.maximum(c.astype(dtype), jnp.asarray(1e-12, dtype))
+
+    c2r = scale(c2_rot, r_rot)
+    c2t = scale(c2_tr, r_tr)
+
+    mus = jnp.logspace(jnp.log10(mu0), 0.0, gnc_steps).astype(dtype)
+    res = None
+    w_rot = jnp.ones_like(r_rot)
+    w_tr = jnp.ones_like(r_tr)
+    floor = jnp.asarray(weight_floor, dtype)
+    for mu in list(mus):
+        w_rot = ((mu * c2r) / (mu * c2r + r_rot)) ** 2
+        w_tr = ((mu * c2t) / (mu * c2t + r_tr)) ** 2
+        problem, _, _ = marginalized_problem(
+            src, dst, Mij, tij,
+            kappa=base_kappa * jnp.maximum(w_rot, floor),
+            tau=base_tau * jnp.maximum(w_tr, floor), n=n)
+        res = tnt.solve(problem, Q, params)
+        Q = res.x
+        R = jnp.swapaxes(Q, -1, -2)
+        t, _ = recover_translations(
+            R, src, dst, tij,
+            weights=base_tau * jnp.maximum(w_tr, floor), anchor=anchor)
+        r_rot = rot_residuals(R)
+        r_tr = tr_residuals(R, t)
+    return R, t, w_rot, w_tr, res
+
+
 def alignment_errors(R, t, R_true, t_true):
     """Errors after optimal world-gauge alignment.
 
@@ -323,7 +467,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
 
     if marginalized:
         problem, Q_op, n = marginalized_problem(src, dst, Mij, tij,
-                                                kappa=kappa, tau=tau)
+                                                kappa=kappa, tau=tau,
+                                                n=graph.n_vertices)
         rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
         Q0 = rs.spectral_init(rot_data, n, Mij.shape[-1],
                               key=key).astype(dtype)

@@ -54,8 +54,33 @@ def chordal_cost(R: jnp.ndarray, data: RotationSyncData) -> jnp.ndarray:
     return jnp.sum(sq)
 
 
-def make_problem() -> RiemannianProblem:
-    return RiemannianProblem(f=chordal_cost, manifold=ROTATIONS)
+def jacobi_precon(x, v, data: RotationSyncData):
+    """Block-Jacobi preconditioner of the chordal Hessian.
+
+    The Euclidean Hessian of the chordal cost has exact vertex-diagonal
+    blocks  2 deg_i I_d  (each incident edge contributes 2 kappa_e |R_i|_F^2
+    curvature), so the Jacobi inverse is the per-vertex scalar
+    1 / (2 deg_i) — and a positive per-block scalar preserves tangency on
+    SO(d)^n exactly, so no re-projection is needed.  This is the
+    preconditioner seam of the reference TNT (``TNT.h:122-125,394-426``)
+    instantiated for rotation synchronization; it matters on graphs with
+    strongly non-uniform degrees (hub-and-chain), where the unpreconditioned
+    connection Laplacian's conditioning tracks deg_max/deg_min.
+    """
+    n = x.shape[0]
+    w = (data.kappa if data.kappa is not None
+         else jnp.ones_like(data.src, dtype=x.dtype))
+    deg = (jnp.zeros((n,), x.dtype)
+           .at[data.src].add(w).at[data.dst].add(w))
+    inv = 1.0 / (2.0 * jnp.maximum(deg, jnp.finfo(x.dtype).tiny))
+    return v * inv[:, None, None]
+
+
+def make_problem(preconditioned: bool = False) -> RiemannianProblem:
+    """The chordal rotation-sync problem; ``preconditioned=True`` installs
+    the block-Jacobi preconditioner (:func:`jacobi_precon`)."""
+    return RiemannianProblem(f=chordal_cost, manifold=ROTATIONS,
+                             precon=jacobi_precon if preconditioned else None)
 
 
 def random_instance(key, n: int, d: int = 3, extra_edges: int = 0,

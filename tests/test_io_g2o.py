@@ -155,3 +155,69 @@ def test_native_tolerates_blank_and_crlf_lines(tmp_path):
     gp = g2o.load_g2o(str(p), native=False)
     np.testing.assert_array_equal(gn.src, gp.src)
     np.testing.assert_allclose(gn.Rij, gp.Rij, atol=1e-12)
+
+
+def test_save_load_roundtrip_se3(tmp_path):
+    """Round-2: save_g2o -> load_g2o reproduces the graph (rotations via the
+    largest-pivot quaternion extraction, kappa/tau through the diagonal
+    information blocks) for both parser backends."""
+    rng = np.random.default_rng(3)
+    E, n = 24, 9
+
+    def rand_rot():
+        A = rng.normal(size=(3, 3))
+        q, _ = np.linalg.qr(A)
+        if np.linalg.det(q) < 0:
+            q[:, 0] *= -1
+        return q
+
+    Rij = np.stack([rand_rot() for _ in range(E)])
+    # include a near-pi rotation (degenerate for the naive w-formula)
+    axis = np.array([1.0, 2.0, -1.0])
+    axis /= np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    th = np.pi - 1e-7
+    Rij[0] = np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
+
+    src = rng.integers(0, n, E).astype(np.int32)
+    dst = ((src + 1 + rng.integers(0, n - 1, E)) % n).astype(np.int32)
+    tij = rng.normal(size=(E, 3))
+    kappa = rng.uniform(0.5, 8.0, E)
+    tau = rng.uniform(0.1, 3.0, E)
+    graph = g2o.PoseGraph(n_vertices=n, dim=3, src=src, dst=dst,
+                          Rij=Rij, tij=tij, kappa=kappa)
+
+    path = str(tmp_path / "roundtrip.g2o")
+    g2o.save_g2o(path, graph, poses=(np.stack([np.eye(3)] * n),
+                                     np.zeros((n, 3))), tau=tau)
+
+    for native in ([False, True] if g2o.native_available() else [False]):
+        loaded = g2o.load_g2o(path, native=native)
+        assert loaded.n_vertices == n and loaded.dim == 3
+        np.testing.assert_array_equal(loaded.src, src)
+        np.testing.assert_array_equal(loaded.dst, dst)
+        np.testing.assert_allclose(loaded.Rij, Rij, atol=1e-9)
+        np.testing.assert_allclose(loaded.tij, tij, atol=1e-10)
+        np.testing.assert_allclose(loaded.kappa, kappa, rtol=1e-10)
+
+
+def test_save_load_roundtrip_se2(tmp_path):
+    rng = np.random.default_rng(4)
+    E, n = 10, 5
+    th = rng.uniform(-np.pi, np.pi, E)
+    Rij = np.stack([[[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]]
+                    for a in th])
+    graph = g2o.PoseGraph(
+        n_vertices=n, dim=2,
+        src=rng.integers(0, n, E).astype(np.int32),
+        dst=rng.integers(0, n, E).astype(np.int32),
+        Rij=Rij, tij=rng.normal(size=(E, 2)),
+        kappa=rng.uniform(0.5, 2.0, E))
+    path = str(tmp_path / "roundtrip2.g2o")
+    g2o.save_g2o(path, graph)
+    loaded = g2o.load_g2o(path, native=False)
+    np.testing.assert_allclose(loaded.Rij, graph.Rij, atol=1e-10)
+    np.testing.assert_allclose(loaded.tij, graph.tij, atol=1e-10)
+    np.testing.assert_allclose(loaded.kappa, graph.kappa, rtol=1e-10)

@@ -16,6 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from optimization_tpu import RiemannianProblem
@@ -241,3 +242,32 @@ def test_sharded_gram_collectives():
                                rtol=1e-10)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(S.T @ BS),
                                rtol=1e-10)
+
+
+def test_consensus_scenario_count_guard():
+    """consensus_problem: an explicit n_scenarios overrides leaf inference,
+    and a stacked block whose leading axis disagrees with the scenario count
+    is rejected instead of silently broadcasting (round-2 hardening; the
+    operator contract is reference ``ADMM.h:265-279``)."""
+    local_argmin = lambda z, lam_i, rho, data_i: z - lam_i / rho
+
+    problem = consensus.consensus_problem(local_argmin, n_scenarios=4)
+    z = jnp.zeros(3)
+    lam = jnp.zeros((4, 3))
+    data = jnp.zeros((4, 2))
+    x = problem.minLx(z, lam, 1.0, data)
+    assert x.shape == (4, 3)
+
+    # A stacked block that disagrees with the scenario count is rejected.
+    with pytest.raises(ValueError, match="leading axis 5"):
+        problem.minLy(jnp.zeros((5, 3)), jnp.zeros((5, 3)), 1.0, data)
+
+    # Inference path: first-leaf leading axis rules; a lam built for a
+    # different count is caught instead of silently broadcast.
+    inferred = consensus.consensus_problem(local_argmin)
+    with pytest.raises(ValueError, match="scenario count is 7"):
+        inferred.minLx(z, jnp.zeros((4, 3)), 1.0, jnp.zeros((7, 2)))
+
+    # No data leaves at all: explicit count required.
+    with pytest.raises(ValueError, match="n_scenarios"):
+        inferred.minLx(z, lam, 1.0, None)
