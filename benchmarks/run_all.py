@@ -17,6 +17,9 @@ CONFIGS = [
     "config3_lobpcg",
     "config4_lasso",
     "config5_rotation_sync",
+    "config6_pose_graph_10k",
+    "config7_bf16_tier",
+    "config8_robust_se",
 ]
 
 

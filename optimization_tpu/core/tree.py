@@ -39,6 +39,19 @@ def tree_axpy(alpha, x: PyTree, y: PyTree) -> PyTree:
     return jax.tree_util.tree_map(lambda xi, yi: alpha * xi + yi, x, y)
 
 
+def tree_axpy_like(alpha, x: PyTree, y: PyTree) -> PyTree:
+    """alpha * x + y, cast back to each y-leaf's dtype.
+
+    The storage-dtype-preserving axpy: with reduced-precision iterate
+    storage (bf16 vectors, f32 scalars) a plain ``alpha * x + y`` promotes
+    the result to the scalar's dtype, silently upcasting the loop carry; the
+    cast keeps storage at the caller's chosen precision while the arithmetic
+    still runs in the promoted dtype.  A no-op for uniform-precision trees.
+    """
+    return jax.tree_util.tree_map(
+        lambda xi, yi: (alpha * xi + yi).astype(yi.dtype), x, y)
+
+
 def tree_neg(a: PyTree) -> PyTree:
     return jax.tree_util.tree_map(jnp.negative, a)
 

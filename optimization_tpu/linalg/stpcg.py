@@ -38,7 +38,8 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.tree import tree_axpy, tree_neg, tree_where, tree_zeros_like
+from ..core.tree import (tree_axpy, tree_axpy_like, tree_neg,
+                         tree_where, tree_zeros_like)
 
 __all__ = ["STPCGResult", "stpcg"]
 
@@ -50,15 +51,32 @@ class STPCGResult(NamedTuple):
 
 
 class _State(NamedTuple):
+    """Rotated-loop carry: the search direction p_k is *formed at the top of
+    iteration k* (p_k = -v_k + beta_k p_{k-1}) rather than at the bottom of
+    iteration k-1.  The recurrences are identical to the reference — only
+    the loop boundary moves — but it lets XLA fuse the p-formation, an
+    elementwise-fusable Hessian application, and the batch of per-iteration
+    inner products into one memory pass: forming p at the bottom of the body
+    puts a while-loop back-edge between producer and consumer, which XLA
+    cannot fuse across.  The M-norm trackers for p_k are reconstructed at
+    the top from the carried previous-iteration scalars:
+
+        <s_k, M p_k>  = beta_k (<s_{k-1}, M p_{k-1}> + alpha_{k-1}
+                                |p_{k-1}|_M^2)
+        |p_k|_M^2     = <r_k, v_k> + beta_k^2 |p_{k-1}|_M^2
+    """
+
     k: jnp.ndarray
     s: Any
     r: Any
     v: Any
-    p: Any
-    sk_M_pk: jnp.ndarray
-    sk_M_2: jnp.ndarray
-    pk_M_2: jnp.ndarray
-    rv: jnp.ndarray
+    p_prev: Any
+    beta: jnp.ndarray          # beta_k forming p_k from p_{k-1} (0 on entry)
+    alpha_prev: jnp.ndarray    # alpha_{k-1}
+    s_M_p_prev: jnp.ndarray    # <s_{k-1}, M p_{k-1}>
+    sk_M_2: jnp.ndarray        # |s_k|_M^2
+    p_M_2_prev: jnp.ndarray    # |p_{k-1}|_M^2
+    rv: jnp.ndarray            # <r_k, v_k>
     done: jnp.ndarray
     boundary: jnp.ndarray
 
@@ -140,7 +158,6 @@ def stpcg(
     s0 = tree_zeros_like(g)
     r0 = g
     v0, r0 = apply_P(r0)
-    p0 = tree_neg(v0)
     rv0 = inner(r0, v0)
     dtype = jnp.asarray(rv0).dtype
     Delta = jnp.asarray(Delta, dtype=dtype)
@@ -151,10 +168,19 @@ def stpcg(
     target_rk_norm = r0_norm * jnp.minimum(
         jnp.asarray(kappa_fgr, dtype), r0_norm**theta)
 
+    # With no preconditioner v == r identically: store an empty pytree in
+    # the v slot and read r instead, so the carry does not move (and the
+    # exit-selects do not rewrite) a duplicate n-vector every iteration.
+    has_precon = precon is not None
+    v_slot = v0 if has_precon else ()
+    v_of = (lambda st: st.v) if has_precon else (lambda st: st.r)
+
+    # Rotated loop (see _State): p_0 = -v_0 arises from beta_0 = 0.
     st0 = _State(
         k=jnp.zeros((), jnp.int32),
-        s=s0, r=r0, v=v0, p=p0,
-        sk_M_pk=zero, sk_M_2=zero, pk_M_2=rv0, rv=rv0,
+        s=s0, r=r0, v=v_slot, p_prev=tree_zeros_like(v0),
+        beta=zero, alpha_prev=zero,
+        s_M_p_prev=zero, sk_M_2=zero, p_M_2_prev=zero, rv=rv0,
         done=jnp.asarray(False),
         boundary=jnp.asarray(False),
     )
@@ -165,15 +191,22 @@ def stpcg(
                 & (jnp.sqrt(st.rv) > target_rk_norm))
 
     def body(st: _State) -> _State:
-        Hp = Hv(st.p)
+        # Form this iteration's search direction and its M-norm trackers
+        # from the carried scalars (identical recurrences, moved across the
+        # loop back-edge so the p-formation fuses into the Hv/dots pass).
+        p = tree_axpy_like(st.beta, st.p_prev, tree_neg(v_of(st)))
+        sk_M_pk = st.beta * (st.s_M_p_prev + st.alpha_prev * st.p_M_2_prev)
+        pk_M_2 = st.rv + st.beta * st.beta * st.p_M_2_prev
+
+        Hp = Hv(p)
         if fused_dots:
             from ..kernels import cg_dots
 
-            kappa, Hp_norm2, p_norm2, pr_f = cg_dots(st.p, Hp, st.r)
+            kappa, Hp_norm2, p_norm2, pr_f = cg_dots(p, Hp, st.r)
         else:
-            kappa = inner(st.p, Hp)
+            kappa = inner(p, Hp)
             Hp_norm2 = inner(Hp, Hp)
-            p_norm2 = inner(st.p, st.p)
+            p_norm2 = inner(p, p)
         in_kernel = jnp.sqrt(Hp_norm2) < epsilon * jnp.sqrt(p_norm2)
 
         # Descent alignment of the kernel direction.  The model gradient at
@@ -184,26 +217,26 @@ def stpcg(
         # direction of descent") and walks the model *uphill* whenever the
         # search direction lies in ker(H) — e.g. TNT from a point where the
         # Riemannian Hessian vanishes.  We implement the correct sign.
-        pr = pr_f if fused_dots else inner(st.p, st.r)
+        pr = pr_f if fused_dots else inner(p, st.r)
         sign = jnp.where(in_kernel & (pr > 0), -jnp.ones((), dtype),
                          jnp.ones((), dtype))
-        sk_M_pk_eff = sign * st.sk_M_pk
+        sk_M_pk_eff = sign * sk_M_pk
 
         # Boundary steplength (shared by kernel / negative-curvature exits)
-        disc = sk_M_pk_eff**2 + st.pk_M_2 * (Delta2 - st.sk_M_2)
-        sigma = (-sk_M_pk_eff + jnp.sqrt(jnp.maximum(disc, 0.0))) / st.pk_M_2
+        disc = sk_M_pk_eff**2 + pk_M_2 * (Delta2 - st.sk_M_2)
+        sigma = (-sk_M_pk_eff + jnp.sqrt(jnp.maximum(disc, 0.0))) / pk_M_2
 
         alpha = st.rv / kappa
-        skplus1_M_2 = (st.sk_M_2 + 2.0 * alpha * st.sk_M_pk
-                       + alpha * alpha * st.pk_M_2)
+        skplus1_M_2 = (st.sk_M_2 + 2.0 * alpha * sk_M_pk
+                       + alpha * alpha * pk_M_2)
         neg_or_exit = (kappa <= 0) | (skplus1_M_2 > Delta2)
         boundary = in_kernel | neg_or_exit
 
         # Boundary branch: s + sigma * (sign * p), M-norm = Delta
-        s_boundary = tree_axpy(sigma * sign, st.p, st.s)
+        s_boundary = tree_axpy_like(sigma * sign, p, st.s)
 
         # Interior branch: full CG update (IterativeSolvers.h:374-420)
-        s_int = tree_axpy(alpha, st.p, st.s)
+        s_int = tree_axpy_like(alpha, p, st.s)
         if fused_dots:
             from ..kernels import axpy_selfdot
 
@@ -212,17 +245,14 @@ def stpcg(
             r_int, rv_int = axpy_selfdot(alpha, Hp, st.r)
             v_int = r_int
         else:
-            r_int = tree_axpy(alpha, Hp, st.r)
+            r_int = tree_axpy_like(alpha, Hp, st.r)
             v_int, r_int = apply_P(r_int)
             rv_int = inner(r_int, v_int)
         beta = rv_int / (alpha * kappa)
-        sk_M_pk_int = beta * (st.sk_M_pk + alpha * st.pk_M_2)
-        pk_M_2_int = rv_int + beta * beta * st.pk_M_2
-        p_int = tree_axpy(beta, st.p, tree_neg(v_int))
 
         if user_function is not None:
             user_stop = jnp.asarray(
-                user_function(st.k, st.s, st.r, st.v, st.p, alpha))
+                user_function(st.k, st.s, st.r, v_of(st), p, alpha))
         else:
             user_stop = jnp.asarray(False)
         # A user stop fires *before* the update is applied and only on interior
@@ -234,15 +264,17 @@ def stpcg(
         s_new = tree_where(boundary, s_boundary,
                            tree_where(user_stop, st.s, s_int))
         r_new = tree_where(exit_now, st.r, r_int)
-        v_new = tree_where(exit_now, st.v, v_int)
-        p_new = tree_where(exit_now, st.p, p_int)
+        v_new = tree_where(exit_now, st.v, v_int) if has_precon else ()
 
         return _State(
             k=jnp.where(exit_now, st.k, st.k + 1),
-            s=s_new, r=r_new, v=v_new, p=p_new,
-            sk_M_pk=jnp.where(exit_now, st.sk_M_pk, sk_M_pk_int),
+            s=s_new, r=r_new, v=v_new,
+            p_prev=p,
+            beta=jnp.where(exit_now, zero, beta),
+            alpha_prev=jnp.where(exit_now, st.alpha_prev, alpha),
+            s_M_p_prev=jnp.where(exit_now, st.s_M_p_prev, sk_M_pk),
             sk_M_2=jnp.where(exit_now, st.sk_M_2, skplus1_M_2),
-            pk_M_2=jnp.where(exit_now, st.pk_M_2, pk_M_2_int),
+            p_M_2_prev=jnp.where(exit_now, st.p_M_2_prev, pk_M_2),
             rv=jnp.where(exit_now, st.rv, rv_int),
             done=exit_now,
             boundary=boundary,

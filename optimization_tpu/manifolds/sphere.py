@@ -21,17 +21,27 @@ import jax.numpy as jnp
 from .base import Manifold
 
 
+def _acc(u):
+    """Accumulation view: sub-f32 storage (bf16/f16) is promoted to f32 for
+    reductions — the bf16-storage / f32-accumulate tier.  A no-op for
+    f32/f64 inputs (bitwise-identical behavior), and XLA fuses the convert
+    into the reduction, so it costs no extra memory traffic."""
+    return u.astype(jnp.promote_types(u.dtype, jnp.float32))
+
+
 def _proj(x, v):
-    return v - jnp.sum(x * v, axis=-1, keepdims=True) * x
+    s = jnp.sum(_acc(x) * _acc(v), axis=-1, keepdims=True)
+    return (_acc(v) - s * _acc(x)).astype(v.dtype)
 
 
 def _retract(x, v):
     y = x + v
-    return y / jnp.linalg.norm(y, axis=-1, keepdims=True)
+    nrm = jnp.linalg.norm(_acc(y), axis=-1, keepdims=True)
+    return (y / nrm).astype(y.dtype)
 
 
 def _inner_scalar(x, u, v):
-    return jnp.sum(u * v)
+    return jnp.sum(_acc(u) * _acc(v))
 
 
 def _egrad_to_rgrad(x, g):

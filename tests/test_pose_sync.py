@@ -242,3 +242,159 @@ class TestMarginalized:
         err_R, err_t = _errors(single.R, single.t, R_true, t_true)
         assert err_R < 0.1
         assert err_t < 0.3
+
+
+class TestLaplacianPreconditioner:
+    """Round-2: Jacobi (degree-diagonal) preconditioning of the inner
+    weighted-Laplacian CG in the marginalized objective (the reference's
+    preconditioner seam, ``Riemannian/TNT.h:122-125``, instantiated for the
+    Schur-complement solve)."""
+
+    def _graph(self, n=60, seed=5):
+        rng = np.random.default_rng(seed)
+        src = np.concatenate([np.arange(n - 1), rng.integers(0, n, 2 * n)])
+        dst = np.concatenate([np.arange(1, n), rng.integers(0, n, 2 * n)])
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # tau spanning 5 orders of magnitude: harsh conditioning
+        tau = 10.0 ** rng.uniform(-2.5, 2.5, src.shape[0])
+        return (jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+                jnp.asarray(tau))
+
+    def test_pcg_matches_cg_and_cuts_iterations(self):
+        src, dst, tau = self._graph()
+        n = 60
+        rng = np.random.default_rng(0)
+        r = jnp.asarray(rng.normal(size=(n, 3)))
+        r = r - jnp.mean(r, axis=0, keepdims=True)   # consistent RHS
+
+        plain = pose_sync._weighted_laplacian_solver(
+            src, dst, tau, n, max_iterations=5000, jacobi=False,
+            with_iters=True)
+        pre = pose_sync._weighted_laplacian_solver(
+            src, dst, tau, n, max_iterations=5000, jacobi=True,
+            with_iters=True)
+        z0, k0 = plain(r)
+        z1, k1 = pre(r)
+
+        # Both solve the system: residual check against the operator itself
+        def L(z):
+            dz = tau[:, None] * (z[dst] - z[src])
+            return (jnp.zeros_like(z).at[dst].add(dz).at[src].add(-dz))
+
+        rn0 = float(jnp.linalg.norm(L(z0) - r) / jnp.linalg.norm(r))
+        rn1 = float(jnp.linalg.norm(L(z1) - r) / jnp.linalg.norm(r))
+        assert rn1 < 1e-8, rn1
+        assert rn1 <= rn0 * 10 + 1e-10
+        # The solutions agree through the edge-difference observable (the
+        # only way z enters the marginalized objective; any null-space
+        # component is invisible there)
+        np.testing.assert_allclose(np.asarray(z1[dst] - z1[src]),
+                                   np.asarray(z0[dst] - z0[src]), atol=1e-7)
+        # And the preconditioner pays: >= 2x fewer iterations here
+        assert int(k1) * 2 <= int(k0), (int(k1), int(k0))
+
+    def test_marginalized_objective_invariant_to_precon(self):
+        src, dst, tau = self._graph(n=24, seed=2)
+        rng = np.random.default_rng(3)
+        d = 3
+        from optimization_tpu.models import rotation_sync as rs
+        key = jax.random.PRNGKey(0)
+        E = src.shape[0]
+        Mij = rs.ROTATIONS.rand(key, E, d, d)
+        tij = jnp.asarray(rng.normal(size=(E, d)))
+        Q = rs.ROTATIONS.rand(jax.random.PRNGKey(1), 24, d, d)
+
+        p_on, _, _ = pose_sync.marginalized_problem(
+            src, dst, Mij, tij, tau=tau, n=24, jacobi=True)
+        p_off, _, _ = pose_sync.marginalized_problem(
+            src, dst, Mij, tij, tau=tau, n=24, jacobi=False)
+        f_on = float(p_on.value(Q, None))
+        f_off = float(p_off.value(Q, None))
+        np.testing.assert_allclose(f_on, f_off, rtol=1e-9)
+        g_on = p_on.rgrad(Q, None)
+        g_off = p_off.rgrad(Q, None)
+        np.testing.assert_allclose(np.asarray(g_on), np.asarray(g_off),
+                                   rtol=1e-6, atol=1e-9)
+
+
+class TestRobustSE:
+    """Round-2: Geman-McClure GNC over the marginalized SE(d) objective
+    (extends rotation_sync.solve_robust to translation outliers through the
+    tau seam)."""
+
+    def _instance(self, n=30, noise=0.01, seed=9):
+        # Dense enough that 20% corruption leaves an inlier *majority* at
+        # every vertex: with sparser graphs a vertex can end up with (say)
+        # 1 inlier vs 2 independent outlier edges, where the robust cost has
+        # two equal-cost basins (reject-the-inlier vs reject-the-outliers)
+        # and the problem is fundamentally unidentifiable at that vertex.
+        rng = np.random.default_rng(seed)
+        key = jax.random.PRNGKey(seed)
+        R_true = rs.ROTATIONS.rand(key, n, 3, 3)
+        t_true = jnp.asarray(rng.normal(size=(n, 3)) * 2.0)
+        src = np.concatenate([np.arange(n - 1), rng.integers(0, n, 4 * n)])
+        dst = np.concatenate([np.arange(1, n), rng.integers(0, n, 4 * n)])
+        keep = src != dst
+        src = jnp.asarray(src[keep], jnp.int32)
+        dst = jnp.asarray(dst[keep], jnp.int32)
+        E = src.shape[0]
+        Rt = jnp.swapaxes(R_true, -1, -2)
+        Mij = jnp.einsum("eij,ejk->eik", Rt[src], R_true[dst])
+        tij = jnp.einsum("eij,ej->ei", Rt[src], t_true[dst] - t_true[src])
+        # small inlier noise
+        w = noise * jnp.asarray(rng.normal(size=(E, 3, 3)))
+        skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+        pert = rs._orthonormalize(jnp.eye(3) + skew + 0.5 * (skew @ skew))
+        Mij = pert @ Mij
+        tij = tij + noise * jnp.asarray(rng.normal(size=(E, 3)))
+        return R_true, t_true, src, dst, Mij, tij, rng
+
+    def test_rejects_mixed_se3_outliers(self):
+        """20% corrupted edges: half full SE(3) outliers (random rotation +
+        random offset), half translation-ONLY outliers (correct rotation,
+        wrong offset) — the channel rotation-only GNC cannot see."""
+        R_true, t_true, src, dst, Mij, tij, rng = self._instance()
+        E = int(src.shape[0])
+        n_out = int(0.2 * E)
+        out_idx = rng.choice(E, n_out, replace=False)
+        full_out = out_idx[: n_out // 2]
+        tr_out = out_idx[n_out // 2:]
+
+        key = jax.random.PRNGKey(123)
+        Mij_c = Mij.at[full_out].set(
+            rs.ROTATIONS.rand(key, len(full_out), 3, 3))
+        bad_t = jnp.asarray(rng.normal(size=(n_out, 3)) * 10.0)
+        tij_c = tij.at[out_idx].set(bad_t)
+
+        n = int(R_true.shape[0])
+        R, t, w_rot, w_tr, res = pose_sync.solve_robust_se(
+            src, dst, Mij_c, tij_c, n)
+
+        rot_err, t_err = pose_sync.alignment_errors(R, t, R_true, t_true)
+        # at the inlier noise floor (noise=0.01); non-robust solves are
+        # dragged far off by the 10-sigma translation outliers
+        assert float(rot_err) < 0.05, float(rot_err)
+        assert float(t_err) < 0.1, float(t_err)
+
+        w_tr = np.asarray(w_tr)
+        w_rot = np.asarray(w_rot)
+        inlier = np.setdiff1d(np.arange(E), out_idx)
+        # translation weights of ALL corrupted edges driven to ~0
+        assert w_tr[np.asarray(out_idx)].max() < 0.05
+        # rotation weights of full outliers driven to ~0; translation-only
+        # outliers keep their (correct) rotation channel
+        assert w_rot[np.asarray(full_out)].max() < 0.05
+        assert np.median(w_rot[inlier]) > 0.5
+        assert np.median(w_tr[inlier]) > 0.5
+
+        # and the non-robust marginalized solve IS dragged off (sanity that
+        # the fixture actually stresses robustness)
+        g = type("G", (), dict(src=np.asarray(src), dst=np.asarray(dst),
+                               Rij=np.asarray(Mij_c), tij=np.asarray(tij_c),
+                               kappa=None, n_vertices=n))()
+        plain = pose_sync.solve_pose_graph(g, dtype=jnp.float64,
+                                           marginalized=True)
+        p_rot, p_t = pose_sync.alignment_errors(plain.R, plain.t,
+                                                R_true, t_true)
+        assert float(p_t) > float(t_err) * 3

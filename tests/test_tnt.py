@@ -209,3 +209,61 @@ def test_tnt_grassmann_eigenspace_quadratic_convergence():
     P_hat = np.asarray(res.x @ res.x.T)
     P_true = np.zeros((n, n)); P_true[:p, :p] = np.eye(p)
     np.testing.assert_allclose(P_hat, P_true, atol=1e-7)
+
+
+def test_bf16_storage_f32_accumulate():
+    """Round-2 bf16 tier: TNT/STPCG with bf16 iterate storage and f32
+    reductions (sphere manifold promotes sub-f32 storage for accumulation;
+    stpcg's axpy updates cast back to storage dtype).  The trust-region
+    logic must run entirely in f32 scalars and converge to the bf16-
+    resolvable gradient floor."""
+    import jax
+
+    n = 4096
+    dtype = jnp.bfloat16
+    i = jnp.arange(n, dtype=jnp.float32)
+    d = 1.0 + (999.0 / (n - 1)) * i
+
+    def A_op(v):
+        return (d * v.astype(jnp.float32))
+
+    M = sphere()
+
+    def f(x, dd):
+        xf = x.astype(jnp.float32)
+        return jnp.dot(xf, A_op(x))
+
+    def grad(x, dd):
+        return M.proj(x, (2.0 * A_op(x)).astype(dtype))
+
+    def quadratic_model(x, dd):
+        g = grad(x, None)
+        rq = jnp.dot(x.astype(jnp.float32), 2.0 * A_op(x))
+
+        def hvp(v):
+            t = (2.0 * A_op(v)).astype(dtype)
+            return (M.proj(x, t).astype(jnp.float32)
+                    - rq * v.astype(jnp.float32)).astype(dtype)
+
+        return g, hvp
+
+    problem = RiemannianProblem(f=f, manifold=M, grad=grad,
+                                quadratic_model=quadratic_model)
+    x0 = M.rand(jax.random.PRNGKey(0), n).astype(dtype)
+    params = tnt.TNTParams(
+        max_iterations=60, max_TPCG_iterations=50,
+        gradient_tolerance=0.5,       # bf16 floor: eps_bf16 ~ 8e-3 * |2A| ~ 16
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+        preconditioned_gradient_tolerance=0.0)
+    res = tnt.solve(problem, x0, params, data=None)
+
+    # storage stayed bf16; scalars ran f32
+    assert res.x.dtype == dtype
+    assert res.f.dtype == jnp.float32
+    assert np.isfinite(float(res.f))
+    # Rayleigh quotient driven near the smallest eigenvalue (f* = 1); the
+    # bf16 floor leaves O(1e-2) relative slack
+    assert float(res.f) < 1.5, float(res.f)
+    # and the iterate is still (numerically) on the sphere
+    nrm = float(jnp.linalg.norm(res.x.astype(jnp.float32)))
+    assert abs(nrm - 1.0) < 0.01
