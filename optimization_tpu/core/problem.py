@@ -50,6 +50,14 @@ class RiemannianProblem:
     hess_vec: Optional[Callable[..., Any]] = None
     precon: Optional[Callable[..., Any]] = None
     quadratic_model: Optional[Callable[..., Any]] = None
+    # Optional structured quadratic model for the single-synchronization
+    # flat CG engine (linalg/flat_cg.py): ``flat_qm(x, data) -> (A0, U, B)``
+    # with model Hessian H = A0 + U B U' (A0 elementwise, U (n, k) small-k,
+    # B (k, k) symmetric).  Valid only when the iterate is a flat array and
+    # the manifold metric is the ambient Euclidean dot (sphere, Euclidean);
+    # TNT then runs its trust-region subproblem at one fused memory pass +
+    # one reduction sync per CG iteration.
+    flat_qm: Optional[Callable[..., Any]] = None
 
     def value(self, x, data=None):
         return self.f(x, data)

@@ -225,24 +225,42 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
 
         # Quadratic model built once per outer iterate (reference TNT.h:374-380):
         # the Hv closure reuses all x-dependent work across inner CG steps.
-        _, Hv = problem.qm(x, data)
         inner = lambda u, v: M.inner(x, u, v)
-        precon_fn = None
-        if problem.precon is not None:
-            precon_fn = lambda r: (problem.apply_precon(x, r, data), None)
 
-        # STEP 2: trust-region subproblem via STPCG (reference TNT.h:489-492)
-        cg = stpcg(grad, Hv, inner, st.Delta,
-                   max_iterations=params.max_TPCG_iterations,
-                   kappa_fgr=params.kappa_fgr, theta=params.theta,
-                   precon=precon_fn, fused_dots=params.fused_dots)
+        # STEP 2: trust-region subproblem (reference TNT.h:489-492) — via
+        # the single-synchronization flat engine when the problem supplies
+        # the structured Hessian (linalg/flat_cg.py), else generic STPCG.
+        if problem.flat_qm is not None and problem.precon is None:
+            from ..linalg.flat_cg import stpcg_flat
+
+            A0, Uf, Bf = problem.flat_qm(x, data)
+            cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
+                            max_iterations=params.max_TPCG_iterations,
+                            kappa_fgr=params.kappa_fgr, theta=params.theta)
+            flat_dm = cg.predicted_decrease
+        else:
+            flat_dm = None
+            _, Hv = problem.qm(x, data)
+            precon_fn = None
+            if problem.precon is not None:
+                precon_fn = lambda r: (problem.apply_precon(x, r, data), None)
+            cg = stpcg(grad, Hv, inner, st.Delta,
+                       max_iterations=params.max_TPCG_iterations,
+                       kappa_fgr=params.kappa_fgr, theta=params.theta,
+                       precon=precon_fn, fused_dots=params.fused_dots)
         h, h_M_norm = cg.s, cg.update_step_M_norm
-        h_norm = jnp.sqrt(inner(h, h))
+        # In the flat branch the metric is the ambient Euclidean dot (part
+        # of the flat_qm contract), so |h| == |h|_M — no extra pass.
+        h_norm = (h_M_norm if flat_dm is not None
+                  else jnp.sqrt(inner(h, h)))
 
-        # STEP 3: trial point and gain ratio (reference TNT.h:505-532)
+        # STEP 3: trial point and gain ratio (reference TNT.h:505-532).
+        # The flat engine tracks the model decrease by scalar recurrence
+        # (algebraically the reference's dm, without the extra Hv product).
         x_prop = M.retract(x, h)
         fx_prop = jnp.asarray(problem.value(x_prop, data))
-        dm = -inner(grad, h) - 0.5 * inner(h, Hv(h))
+        dm = (flat_dm if flat_dm is not None
+              else -inner(grad, h) - 0.5 * inner(h, Hv(h)))
         df = fx - fx_prop
         relative_decrease = df / (sqrt_eps + jnp.abs(fx))
         rho = df / dm
@@ -256,11 +274,15 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             user_stop = jnp.asarray(False)
 
         # Accepted-step updates (reference TNT.h:555-585); a user stop fires
-        # *before* the update is applied.
+        # *before* the update is applied.  The gradient is evaluated at the
+        # trial point and selected afterwards — same values as evaluating at
+        # the accepted point, but the operator application is shared with
+        # f(x_prop) by common-subexpression elimination instead of running
+        # on the select's output.
         apply = accepted & ~user_stop
         x_new = tree_where(apply, x_prop, x)
         f_new = jnp.where(apply, fx_prop, fx)
-        g_acc, gn_acc, pgn_acc = grad_and_norms(x_new)
+        g_acc, gn_acc, pgn_acc = grad_and_norms(x_prop)
         g_new = tree_where(apply, g_acc, grad)
         gn_new = jnp.where(apply, gn_acc, st.gradnorm)
         pgn_new = jnp.where(apply, pgn_acc, st.pgradnorm)

@@ -1,0 +1,216 @@
+"""stpcg_flat (single-synchronization Steihaug-Toint CG) == generic stpcg.
+
+The flat engine restructures the iteration (Chronopoulos-Gear recurrences,
+one fused pass, one reduction group) but must reproduce the reference STPCG
+semantics (``IterativeSolvers.h:166-426``): exact-regime solutions,
+truncation contract, negative-curvature and trust-region boundary exits,
+kernel escape with descent alignment.  Each regime is checked against the
+generic engine and/or closed forms.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimization_tpu.linalg.flat_cg import sphere_rayleigh_flat, stpcg_flat
+from optimization_tpu.linalg.stpcg import stpcg
+
+DOT = lambda u, v: jnp.sum(u * v)
+
+
+def _diag_lowrank(n=400, seed=0, rank=2, shift=1.0):
+    rng = np.random.default_rng(seed)
+    d = jnp.asarray(rng.uniform(1.0, 50.0, n))
+    Um = jnp.asarray(rng.normal(size=(n, rank)) / np.sqrt(n))
+    U = tuple(Um[:, j] for j in range(rank))   # tuple-of-vectors contract
+    Bm = jnp.asarray(rng.normal(size=(rank, rank)))
+    B = 0.5 * (Bm + Bm.T) + rank * jnp.eye(rank)
+    g = jnp.asarray(rng.normal(size=n))
+    A0 = lambda v: (d + shift) * v
+    Hv = lambda v: A0(v) + Um @ (B @ (Um.T @ v))
+    return d, U, B, g, A0, Hv, Um
+
+
+class TestParityWithGeneric:
+    def test_exact_regime_matches_direct(self):
+        d, U, B, g, A0, Hv, Um = _diag_lowrank()
+        res = stpcg_flat(g, A0, U, B, 1e9, max_iterations=2000,
+                         kappa_fgr=1e-8, theta=0.999)
+        H = np.diag(np.asarray(d) + 1.0) + np.asarray(Um) @ np.asarray(B) \
+            @ np.asarray(Um).T
+        s_direct = -np.linalg.solve(H, np.asarray(g))
+        np.testing.assert_allclose(np.asarray(res.s), s_direct, atol=1e-6)
+        np.testing.assert_allclose(float(res.update_step_M_norm),
+                                   np.linalg.norm(s_direct), rtol=1e-8)
+
+    def test_truncation_contract(self):
+        d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=3)
+        kappa = 0.1
+        res = stpcg_flat(g, A0, U, B, 1e9, max_iterations=1000,
+                         kappa_fgr=kappa, theta=0.5)
+        r = np.asarray(Hv(res.s) + g)
+        assert np.linalg.norm(r) < kappa * float(jnp.linalg.norm(g))
+
+    def test_matches_generic_iterates(self):
+        d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=5)
+        for Delta in (1e9, 0.5, 0.05):
+            ref = stpcg(g, Hv, DOT, Delta, max_iterations=300,
+                        kappa_fgr=0.05, theta=0.5)
+            res = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                             kappa_fgr=0.05, theta=0.5)
+            assert int(res.num_iterations) == int(ref.num_iterations), Delta
+            np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                       rtol=1e-6, atol=1e-9)
+            np.testing.assert_allclose(float(res.update_step_M_norm),
+                                       float(ref.update_step_M_norm),
+                                       rtol=1e-8)
+
+    def test_negative_curvature_boundary(self):
+        n = 200
+        rng = np.random.default_rng(7)
+        d = jnp.asarray(rng.uniform(-2.0, 5.0, n))   # indefinite
+        g = jnp.asarray(rng.normal(size=n))
+        A0 = lambda v: d * v
+        Delta = 2.0
+        ref = stpcg(g, A0, DOT, Delta, max_iterations=500, kappa_fgr=1e-8,
+                    theta=0.999)
+        res = stpcg_flat(g, A0, None, None, Delta, max_iterations=500,
+                         kappa_fgr=1e-8, theta=0.999)
+        np.testing.assert_allclose(float(res.update_step_M_norm), Delta,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(float(jnp.linalg.norm(res.s)), Delta,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                   rtol=1e-5, atol=1e-8)
+
+    def test_kernel_escape_descent_aligned(self):
+        n = 64
+        g = jnp.asarray(np.random.default_rng(1).normal(size=n))
+        A0 = lambda v: jnp.zeros_like(v)
+        Delta = 3.0
+        res = stpcg_flat(g, A0, None, None, Delta, max_iterations=50,
+                         kappa_fgr=1e-8, theta=0.999)
+        # one kernel step to the boundary, descending along -g
+        assert int(res.num_iterations) == 0
+        np.testing.assert_allclose(float(jnp.linalg.norm(res.s)), Delta,
+                                   rtol=1e-6)
+        assert float(DOT(res.s, g)) < 0
+
+    def test_sphere_rayleigh_structure_matches_projected_hessian(self):
+        n = 500
+        rng = np.random.default_rng(11)
+        d = jnp.asarray(rng.uniform(1.0, 100.0, n))
+        A_elem = lambda v: d * v
+        x = jnp.asarray(rng.normal(size=n))
+        x = x / jnp.linalg.norm(x)
+
+        A0, U, B, rq = sphere_rayleigh_flat(x, A_elem)
+        proj = lambda v: v - DOT(x, v) * x
+        Hv = lambda v: proj(2.0 * A_elem(v)) - rq * v   # one-sided form
+        g = proj(jnp.asarray(rng.normal(size=n)))       # tangent gradient
+
+        # the symmetrized operator equals the one-sided form on tangents
+        # (U entries may be generator callables — materialize for the check)
+        Um = [u() if callable(u) else u for u in U]
+        v = proj(jnp.asarray(rng.normal(size=n)))
+        mv = jnp.stack([jnp.sum(u * v) for u in Um])
+        c = B @ mv
+        Hs = A0(v) + c[0] * Um[0] + c[1] * Um[1]
+        np.testing.assert_allclose(np.asarray(Hs), np.asarray(Hv(v)),
+                                   atol=1e-9)
+
+        for Delta in (1e9, 0.3):
+            ref = stpcg(g, Hv, DOT, Delta, max_iterations=400,
+                        kappa_fgr=0.01, theta=0.5)
+            res = stpcg_flat(g, A0, U, B, Delta, max_iterations=400,
+                             kappa_fgr=0.01, theta=0.5)
+            assert int(res.num_iterations) == int(ref.num_iterations)
+            np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                       rtol=1e-5, atol=1e-8)
+
+    def test_bf16_storage(self):
+        n = 1024
+        rng = np.random.default_rng(2)
+        d = jnp.asarray(rng.uniform(1.0, 20.0, n), jnp.float32)
+        g32 = jnp.asarray(rng.normal(size=n), jnp.float32)
+        g = g32.astype(jnp.bfloat16)
+        A0 = lambda v: d * v.astype(jnp.float32)
+        res = stpcg_flat(g, A0, None, None, 1e9, max_iterations=200,
+                         kappa_fgr=0.05, theta=0.5)
+        assert res.s.dtype == jnp.bfloat16
+        ref = stpcg(g32, lambda v: d * v, DOT, 1e9, max_iterations=200,
+                    kappa_fgr=0.05, theta=0.5)
+        # bf16 storage: agreement at the storage precision
+        np.testing.assert_allclose(
+            np.asarray(res.s, np.float32), np.asarray(ref.s),
+            atol=0.05 * float(jnp.linalg.norm(ref.s)))
+
+
+def test_tnt_flat_qm_matches_generic():
+    """TNT with problem.flat_qm runs the flat engine and converges to the
+    same optimum as the generic path on the benchmark problem family."""
+    from optimization_tpu import RiemannianProblem
+    from optimization_tpu.manifolds import sphere
+    from optimization_tpu.solvers import tnt
+
+    n = 2048
+    d = jnp.linspace(1.0, 1000.0, n)
+    A_elem = lambda v: d * v
+    M = sphere()
+
+    def f(x, dd):
+        return jnp.dot(x, A_elem(x))
+
+    def grad(x, dd):
+        return M.proj(x, 2.0 * A_elem(x))
+
+    def flat_qm(x, dd):
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+        return A0, U, B
+
+    params = tnt.TNTParams(
+        max_iterations=60, max_TPCG_iterations=60, gradient_tolerance=1e-8,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+        preconditioned_gradient_tolerance=0.0)
+    x0 = M.rand(jax.random.PRNGKey(5), n)
+
+    flat = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm)
+    generic = RiemannianProblem(f=f, manifold=M, grad=grad)
+
+    r_flat = tnt.solve(flat, x0, params, data=None)
+    r_gen = tnt.solve(generic, x0, params, data=None)
+
+    # both drive the Rayleigh quotient to the smallest eigenvalue
+    np.testing.assert_allclose(float(r_flat.f), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(r_gen.f), 1.0, atol=1e-6)
+    assert float(r_flat.gradfx_norm) < 1e-6
+    # iteration effort comparable (same algorithm, restructured arithmetic)
+    assert abs(int(r_flat.num_iterations) - int(r_gen.num_iterations)) <= 3
+
+
+def test_predicted_decrease_matches_explicit_dm():
+    """The scalar-recurrence model decrease equals -<g,s> - 1/2 <s,Hs>
+    in every exit regime (interior truncation, Delta boundary, negative
+    curvature)."""
+    d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=13)
+
+    for Delta in (1e9, 0.5, 0.05):
+        res = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                         kappa_fgr=0.05, theta=0.5)
+        s = res.s
+        dm_explicit = float(-DOT(g, s) - 0.5 * DOT(s, Hv(s)))
+        np.testing.assert_allclose(float(res.predicted_decrease),
+                                   dm_explicit, rtol=1e-8, atol=1e-12)
+
+    # negative curvature boundary
+    rng = np.random.default_rng(7)
+    dneg = jnp.asarray(rng.uniform(-2.0, 5.0, 200))
+    gneg = jnp.asarray(rng.normal(size=200))
+    A0n = lambda v: dneg * v
+    res = stpcg_flat(gneg, A0n, None, None, 2.0, max_iterations=500,
+                     kappa_fgr=1e-8, theta=0.999)
+    s = res.s
+    dm_explicit = float(-DOT(gneg, s) - 0.5 * DOT(s, A0n(s)))
+    np.testing.assert_allclose(float(res.predicted_decrease), dm_explicit,
+                               rtol=1e-7)
