@@ -11,6 +11,15 @@ import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _materialize(out):
+    """Force completion with a host transfer: block_until_ready can return
+    early on the axon remote runtime (observed round 2)."""
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            _np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
 import numpy as np
 
 import sys
@@ -26,12 +35,12 @@ DT = jnp.float32
 
 def timeit(fn, *args, k=K, label=""):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _materialize(out)
         best = min(best, time.perf_counter() - t0)
     print(f"{label:36s} {best / k * 1e3:8.3f} ms/iter", flush=True)
     return best / k
@@ -56,11 +65,11 @@ def main():
                       key=jax.random.PRNGKey(3))
 
     r = full()
-    jax.block_until_ready(r.X)
+    _materialize(r.X)
     iters = int(r.num_iterations)
     t0 = time.perf_counter()
     r = full()
-    jax.block_until_ready(r.X)
+    _materialize(r.X)
     dt = (time.perf_counter() - t0) / max(iters, 1)
     print(f"{'FULL lobpcg iteration':36s} {dt * 1e3:8.3f} ms/iter "
           f"({iters} iters)", flush=True)

@@ -19,6 +19,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+
+def _materialize(out):
+    """Force completion with a host transfer: block_until_ready can return
+    early on the axon remote runtime (observed round 2)."""
+    import numpy as _np
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            _np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
 N = 1 << 24
 K = 30
 REPS = 3
@@ -27,12 +36,12 @@ DT = jnp.float32
 
 def timeit(fn, *args):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     best = float("inf")
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _materialize(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -359,12 +368,12 @@ def probe_stpcg_variants():
             return res.s, res.num_iterations
 
         s, it = solve(g0)
-        jax.block_until_ready(s)
+        _materialize(s)
         best = float("inf")
         for _ in range(REPS):
             t0 = time.perf_counter()
             s, it = solve(g0)
-            jax.block_until_ready(s)
+            _materialize(s)
             best = min(best, time.perf_counter() - t0)
         iters = int(it)
         print(f"{name:34s} {best / max(iters, 1) * 1e3:7.3f} ms/iter "

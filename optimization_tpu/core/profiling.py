@@ -35,14 +35,27 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def _materialize(out) -> None:
+    """Force completion of ``out`` with a host transfer of one element per
+    leaf.  On the axon remote runtime ``jax.block_until_ready`` can return
+    before the enqueued execution finishes (observed round 2: a 1-second
+    solve "timed" at 0.15 ms); a device->host copy cannot."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+
+
 def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
             warmup: int = 1, **kwargs) -> float:
-    """Average wall seconds per call of ``fn`` (blocks on the result)."""
+    """Average wall seconds per call of ``fn`` (forces completion with a
+    host transfer — see :func:`_materialize`)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        _materialize(fn(*args, **kwargs))
     t0 = time.monotonic()
     out = None
     for _ in range(iters):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.monotonic() - t0) / iters
