@@ -1,0 +1,86 @@
+"""Outlier-robust SE(3) pose synchronization (Geman-McClure GNC).
+
+Synthesizes a pose graph with 20% corrupted edges — half full SE(3)
+outliers (random rotation + random offset), half translation-only outliers
+(correct relative rotation, wrong offset: the channel a rotation-only
+robust solver cannot see) — and recovers the poses with
+``pose_sync.solve_robust_se``: graduated non-convexity over the
+translation-marginalized SE-Sync objective, reweighting both the kappa
+(rotation) and tau (translation) information channels per edge.
+
+Run:  python examples/robust_pose_graph.py
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import banner
+
+from optimization_tpu.models import pose_sync, rotation_sync as rs
+
+
+def synthesize(n=80, noise=0.01, outlier_frac=0.2, seed=7):
+    rng = np.random.default_rng(seed)
+    R_true = rs.ROTATIONS.rand(jax.random.PRNGKey(seed), n, 3, 3)
+    t_true = jnp.asarray(rng.normal(size=(n, 3)) * 2.0)
+    src = np.concatenate([np.arange(n - 1), rng.integers(0, n, 4 * n)])
+    dst = np.concatenate([np.arange(1, n), rng.integers(0, n, 4 * n)])
+    keep = src != dst
+    src = jnp.asarray(src[keep], jnp.int32)
+    dst = jnp.asarray(dst[keep], jnp.int32)
+    E = int(src.shape[0])
+
+    Rt = jnp.swapaxes(R_true, -1, -2)
+    Mij = jnp.einsum("eij,ejk->eik", Rt[src], R_true[dst])
+    tij = jnp.einsum("eij,ej->ei", Rt[src], t_true[dst] - t_true[src])
+    w = noise * jnp.asarray(rng.normal(size=(E, 3, 3)))
+    skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+    pert = rs._orthonormalize(jnp.eye(3) + skew + 0.5 * (skew @ skew))
+    Mij = pert @ Mij
+    tij = tij + noise * jnp.asarray(rng.normal(size=(E, 3)))
+
+    n_out = int(outlier_frac * E)
+    out_idx = rng.choice(E, n_out, replace=False)
+    full = out_idx[: n_out // 2]
+    Mij = Mij.at[full].set(
+        rs.ROTATIONS.rand(jax.random.PRNGKey(99), len(full), 3, 3))
+    tij = tij.at[out_idx].set(jnp.asarray(rng.normal(size=(n_out, 3)) * 10.0))
+    return R_true, t_true, src, dst, Mij, tij, out_idx, full
+
+
+def main():
+    banner("robust SE(3) pose synchronization (GM-GNC, marginalized)")
+    R_true, t_true, src, dst, Mij, tij, out_idx, full = synthesize()
+    n = int(R_true.shape[0])
+    E = int(src.shape[0])
+    print(f"n={n} poses, E={E} edges, {len(out_idx)} corrupted "
+          f"({len(full)} full SE(3), {len(out_idx) - len(full)} "
+          f"translation-only)")
+
+    # Non-robust baseline: dragged far off by the 10-sigma offsets
+    g = type("G", (), dict(src=np.asarray(src), dst=np.asarray(dst),
+                           Rij=np.asarray(Mij), tij=np.asarray(tij),
+                           kappa=None, n_vertices=n))()
+    plain = pose_sync.solve_pose_graph(g, marginalized=True)
+    pr, pt = pose_sync.alignment_errors(
+        plain.R.astype(jnp.float64), plain.t.astype(jnp.float64),
+        R_true, t_true)
+    print(f"non-robust marginalized solve: rot_err={float(pr):.4f} "
+          f"t_err={float(pt):.3f}")
+
+    R, t, w_rot, w_tr, res = pose_sync.solve_robust_se(src, dst, Mij, tij, n)
+    rr, tt = pose_sync.alignment_errors(
+        R.astype(jnp.float64), t.astype(jnp.float64), R_true, t_true)
+    w_tr = np.asarray(w_tr)
+    inl = np.setdiff1d(np.arange(E), out_idx)
+    print(f"GNC robust solve:              rot_err={float(rr):.4f} "
+          f"t_err={float(tt):.3f}  (noise floor 0.01)")
+    print(f"weights: max over corrupted edges = {w_tr[out_idx].max():.4f}, "
+          f"median over inliers = {np.median(w_tr[inl]):.3f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -228,3 +228,26 @@ class TestRound2Robustness:
                               key=jax.random.PRNGKey(0))
         out = capsys.readouterr().out
         assert "LOBPCG terminated: iteration limit reached" in out
+
+
+def test_vmapped_fleet():
+    """A fleet of LOBPCG instances under jax.vmap: the (3nx)^2 Rayleigh-Ritz
+    stages batch into single fleet-wide kernels (the round-1 roadmap's
+    'RR batched across a vmapped fleet').  Each instance must match its
+    individual solve."""
+    B, m, nx, nev = 4, 300, 8, 3
+    rng = np.random.default_rng(8)
+    ds = jnp.asarray(rng.uniform(1.0, 50.0, (B, m)))
+    X0s = jnp.asarray(rng.normal(size=(B, m, nx)))
+
+    def solve_one(d, X0):
+        res = lobpcg(lambda S: d[:, None] * S, T=lambda S: S / d[:, None],
+                     X0=X0, nev=nev, max_iterations=200, tau=1e-8)
+        return res.theta, res.num_converged, res.pencil_consistent
+
+    thetas, ncs, oks = jax.vmap(solve_one)(ds, X0s)
+    assert bool(jnp.all(ncs >= nev))
+    assert bool(jnp.all(oks))
+    for b in range(B):
+        th_ref = np.sort(np.asarray(ds[b]))[:nev]
+        np.testing.assert_allclose(np.asarray(thetas[b]), th_ref, atol=1e-6)

@@ -116,3 +116,47 @@ def test_tnt_accepted_steps_decrease_f(seed, n):
     # converged to the unique minimizer
     xt = np.linalg.solve(np.asarray(H), -np.asarray(c))
     np.testing.assert_allclose(np.asarray(res.x), xt, atol=1e-6, rtol=1e-6)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(8, 60),
+       rank=st.integers(0, 3),
+       delta=st.sampled_from([1e6, 1.0, 0.1]),
+       indefinite=st.booleans())
+def test_flat_cg_matches_generic_stpcg(seed, n, rank, delta, indefinite):
+    """Property: the single-synchronization flat engine reproduces the
+    generic STPCG engine — identical iteration counts and matching steps —
+    on random diag + low-rank (possibly indefinite) operators across
+    interior/boundary/negative-curvature regimes."""
+    from optimization_tpu.linalg.flat_cg import stpcg_flat
+
+    rng = np.random.default_rng(seed)
+    lo = -2.0 if indefinite else 0.5
+    d = jnp.asarray(rng.uniform(lo, 30.0, n))
+    g = jnp.asarray(rng.normal(size=n))
+    A0 = lambda v: d * v
+    if rank:
+        Um = jnp.asarray(rng.normal(size=(n, rank)) / np.sqrt(n))
+        U = tuple(Um[:, j] for j in range(rank))
+        Bm = jnp.asarray(rng.normal(size=(rank, rank)))
+        B = 0.5 * (Bm + Bm.T)
+        Hv = lambda v: A0(v) + Um @ (B @ (Um.T @ v))
+    else:
+        U, B = None, None
+        Hv = A0
+
+    ref = stpcg(g, Hv, inner, delta, max_iterations=5 * n,
+                kappa_fgr=0.05, theta=0.5)
+    res = stpcg_flat(g, A0, U, B, delta, max_iterations=5 * n,
+                     kappa_fgr=0.05, theta=0.5)
+    assert int(res.num_iterations) == int(ref.num_iterations)
+    np.testing.assert_allclose(float(res.update_step_M_norm),
+                               float(ref.update_step_M_norm),
+                               rtol=1e-6, atol=1e-10)
+    scale = max(float(jnp.linalg.norm(ref.s)), 1e-9)
+    np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                               atol=1e-5 * scale)
+    # predicted model decrease equals the explicit evaluation
+    dm = float(-jnp.dot(g, res.s) - 0.5 * jnp.dot(res.s, Hv(res.s)))
+    np.testing.assert_allclose(float(res.predicted_decrease), dm,
+                               rtol=1e-5, atol=1e-9 * max(abs(dm), 1.0))
