@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import banner
+from _common import setup
 
 from optimization_tpu.models import pose_sync, rotation_sync as rs
 
@@ -52,7 +52,8 @@ def synthesize(n=80, noise=0.01, outlier_frac=0.2, seed=7):
 
 
 def main():
-    banner("robust SE(3) pose synchronization (GM-GNC, marginalized)")
+    setup()
+    print("== robust SE(3) pose synchronization (GM-GNC, marginalized) ==")
     R_true, t_true, src, dst, Mij, tij, out_idx, full = synthesize()
     n = int(R_true.shape[0])
     E = int(src.shape[0])
