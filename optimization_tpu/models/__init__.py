@@ -1,1 +1,1 @@
-from . import pose_sync, rotation_sync
+from . import matrix_completion, pose_sync, rotation_sync
