@@ -20,6 +20,7 @@ CONFIGS = [
     "config6_pose_graph_10k",
     "config7_bf16_tier",
     "config8_robust_se",
+    "config9_matrix_completion",
 ]
 
 
