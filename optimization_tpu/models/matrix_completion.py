@@ -15,9 +15,11 @@ is a separate ridge least-squares per *column* of M:
 
     W[:, j] = (U' D_j U + lam I)^{-1} U' D_j m_j,      D_j = diag(mask[:, j])
 
-— n independent (k x k) SPD solves, batched into one einsum + one
-``jax.scipy.linalg.solve`` over a stacked (n, k, k) tensor: MXU-shaped
-work.  f is then evaluated through the solved W; because W(U) is the exact
+— n independent (k x k) SPD solves, batched as one einsum forming the
+stacked (n, k, k) normal matrices followed by a fixed 2k-sweep batched CG
+(matmul-only; see ``solve_W`` for why a batched Cholesky/solve lowering is
+avoided on this runtime).  f is then evaluated through the solved W; because
+W(U) is the exact
 argmin, the envelope theorem makes the U-gradient equal the partial
 gradient, and the generic autodiff pipeline (``jax.grad`` through the
 batched solve, ``jax.jvp`` for Hessian-vector products) gives the exact
