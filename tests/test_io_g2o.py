@@ -93,6 +93,7 @@ def test_native_error_on_missing_file():
         g2o.load_g2o("/nonexistent/file.g2o", native=True)
 
 
+@pytest.mark.slow
 def test_loaded_graph_drives_rotation_sync(tmp_path):
     """End-to-end: g2o file -> PoseGraph -> TNT rotation sync."""
     import jax.numpy as jnp

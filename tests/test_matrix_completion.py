@@ -9,6 +9,7 @@ the envelope-theorem closed form.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from optimization_tpu.core.types import TNTStatus
 from optimization_tpu.models import matrix_completion as mc
@@ -22,6 +23,7 @@ def _params(gtol=1e-10, iters=100):
         preconditioned_gradient_tolerance=0.0, max_TPCG_iterations=200)
 
 
+@pytest.mark.slow
 def test_exact_recovery_noiseless():
     m, n, k = 60, 50, 3
     M_true, data = mc.random_instance(jax.random.PRNGKey(0), m, n, k,
@@ -36,6 +38,7 @@ def test_exact_recovery_noiseless():
     assert float(res.f) < 1e-6
 
 
+@pytest.mark.slow
 def test_noisy_recovery_at_noise_floor():
     m, n, k, noise = 80, 70, 4, 0.01
     M_true, data = mc.random_instance(jax.random.PRNGKey(3), m, n, k,
@@ -81,6 +84,7 @@ def test_inner_solve_is_columnwise_ridge():
                                    np.linalg.solve(A, b), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_vmapped_fleet():
     """A fleet of completion instances under vmap (DP-shardable)."""
     B, m, n, k = 3, 40, 30, 2

@@ -18,6 +18,7 @@ fixtures (SURVEY.md section 4) but checks it across randomized problems:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from optimization_tpu import CompositeProblem, RiemannianProblem
@@ -26,6 +27,10 @@ from optimization_tpu.linalg.stpcg import stpcg
 from optimization_tpu.solvers import proximal_gradient as pg
 from optimization_tpu.solvers import tnt
 from optimization_tpu.solvers.prox import soft_threshold
+
+# Hypothesis property sweeps are the heavyweight tier; the contract/unit
+# suite stays under the fast -m "not slow" tier (CLAUDE.md).
+pytestmark = pytest.mark.slow
 
 inner = lambda u, v: jnp.dot(u, v)
 
@@ -122,12 +127,16 @@ def test_tnt_accepted_steps_decrease_f(seed, n):
 @given(seed=st.integers(0, 2**31 - 1), n=st.integers(8, 60),
        rank=st.integers(0, 3),
        delta=st.sampled_from([1e6, 1.0, 0.1]),
-       indefinite=st.booleans())
-def test_flat_cg_matches_generic_stpcg(seed, n, rank, delta, indefinite):
-    """Property: the single-synchronization flat engine reproduces the
-    generic STPCG engine — identical iteration counts and matching steps —
-    on random diag + low-rank (possibly indefinite) operators across
-    interior/boundary/negative-curvature regimes."""
+       indefinite=st.booleans(),
+       s_steps=st.sampled_from([1, 2, 3]))
+def test_flat_cg_matches_generic_stpcg(seed, n, rank, delta, indefinite,
+                                       s_steps):
+    """Property: the s-step single-synchronization flat engine reproduces
+    the generic STPCG engine — identical iteration counts and matching
+    steps — on random diag + low-rank (possibly indefinite) operators
+    across interior/boundary/negative-curvature regimes, at every group
+    size s (multi-step groups demote to honest single steps around every
+    exit, so the committed iterate sequence is identical)."""
     from optimization_tpu.linalg.flat_cg import stpcg_flat
 
     rng = np.random.default_rng(seed)
@@ -148,7 +157,7 @@ def test_flat_cg_matches_generic_stpcg(seed, n, rank, delta, indefinite):
     ref = stpcg(g, Hv, inner, delta, max_iterations=5 * n,
                 kappa_fgr=0.05, theta=0.5)
     res = stpcg_flat(g, A0, U, B, delta, max_iterations=5 * n,
-                     kappa_fgr=0.05, theta=0.5)
+                     kappa_fgr=0.05, theta=0.5, s_steps=s_steps)
     assert int(res.num_iterations) == int(ref.num_iterations)
     np.testing.assert_allclose(float(res.update_step_M_norm),
                                float(ref.update_step_M_norm),
