@@ -1,50 +1,109 @@
-"""Single-synchronization Steihaug-Toint CG for flat tangent spaces.
+"""Single-synchronization Steihaug-Toint CG engines for flat tangent spaces.
 
-The memory-bound specialization of :mod:`optimization_tpu.linalg.stpcg` for
-the large-n regime (the BASELINE "TNT on a 10^6+-variable problem" north
-star).  Same functional contract as the reference STPCG
-(``LinearAlgebra/IterativeSolvers.h:166-426``): truncation target
-|r_k| <= |r_0| min(kappa_fgr, |r_0|^theta), negative-curvature/overlong
-boundary exit with the sigma steplength, kernel-of-H escape with descent
-alignment, and the |s|/<s,p>/|p| trust-region recurrences — but restructured
-so one iteration is ONE fused memory pass with ONE reduction group:
+The memory/latency-bound specialization of
+:mod:`optimization_tpu.linalg.stpcg` (the BASELINE "TNT on a
+10^6+-variable problem" north star).  Same functional contract as the
+reference STPCG (``LinearAlgebra/IterativeSolvers.h:166-426``): truncation
+target |r_k| <= |r_0| min(kappa_fgr, |r_0|^theta), negative-curvature/
+overlong boundary exit with the sigma steplength, kernel-of-H escape with
+descent alignment, and the |s|/<s,p>/|p| trust-region recurrences.
 
-- **Chronopoulos-Gear recurrences**: q = Hp is carried as a vector
-  recurrence (q' = -w + beta q, w = Hr), so kappa = <p,Hp> comes from the
-  scalar identity  kappa_k = <w_k,r_k> - (beta_k/alpha_{k-1}) rv_k  and no
-  dot needs to complete between forming p and using alpha.
-- **Structured operator**: H v = A0(v) + U B (U' v) with A0 a cheap
-  *elementwise* linear map (recomputed freely inside fusions, never
-  materialized), U an (n, k) block of a few dense vectors, B a (k, k)
-  symmetric coupling.  Every quantity the NEXT iteration needs —
-  <w,r>, |w|^2 for the kernel check, <w,q> for the |q| recurrence — expands
-  into plain dots over (r', A0 r', U, q') that accumulate in the SAME pass
-  that writes the updated vectors.
+**Structured operator**: H v = A0(v) + U B (U' v) with A0 a cheap fusible
+*elementwise* linear map (recomputed freely inside fusions, never
+materialized), U a tuple of a few (n,) vectors (or nullary generators), B a
+(k, k) symmetric coupling.
 
-Per iteration this moves ~(8+k)n words in one fusion group instead of the
-generic engine's ~14n across several, and pays one reduction-sync instead
-of two+.  Measured on TPU v5e at n=2^24: 2.0x faster per CG iteration than
-the round-1 structure on the same operator.
+TWO engines share this contract behind :func:`stpcg_flat`:
+
+1. **The pair-deferred engine** (``s_steps=1``, default; round 2): one
+   fused ~6n-word pass + ONE reduction sync per CG iteration
+   (Chronopoulos-Gear kappa, q = Hp recomputed elementwise in-pass,
+   s-updates merged across unrolled iteration pairs).  Every scalar
+   assembly stays at moment order <= 2, so its f32 noise floor is the
+   plain sqrt(n)*eps dot-product floor.  Production path for huge-n
+   trust-region subproblems: 1227 CG it/s at n=2^24 on TPU v5e.
+
+2. **The s-step coefficient-space engine** (``s_steps >= 2``; round 3):
+   ONE reduction sync per s CG iterations, exact parity with the generic
+   engine (demotion around every exit), vmap-safe, with a plain-linear-
+   solver mode (``solve_mode``).  Honest measurement across its candidate
+   niches says the per-sync savings did NOT pay anywhere tried on this
+   runtime: at headline scale (n=2^24) the ~30-45-output reduction group
+   + register chains break XLA's single-fusion pass and it ran SLOWER
+   than engine 1 (f32: 1098 vs 1211 CG it/s; bf16: collapse to 150-430
+   GB/s effective) with identical achieved objective; as the inner
+   Laplacian solver of the 10^4-pose marginalized TNT it was ~11x slower
+   end-to-end (models/pose_sync.py docstring) — inside a compiled nested
+   loop the per-iteration sync charge is far below the 0.3-0.5 ms
+   top-level dispatch figure, so there was little to amortize.  Its
+   order-3/4 honest moment dots also carry a sqrt(n)*eps relative noise
+   floor that engine 1's order-<=2 assemblies do not.  The engine is kept
+   — fully tested — as the ready tool for runtimes/regimes where loop
+   syncs genuinely dominate; every current default is engine 1.
+
+**How s steps ride one reduction** (engine 2).  Every vector the group
+manipulates
+(p_t, r_t, the s-update) lives in the Krylov coefficient space over the
+basis  {H^i r, H^i p}_{i=0..2s}  of the group's two input vectors.  The
+group's ONE reduction supplies honest dots of the *previous* group's
+outputs:
+
+- moments  h_m = (<H^i r, H^j r>, <H^i r, H^j p>, <H^i p, H^j p>),
+  i + j = m <= 2s, which populate the Gram matrix of the basis, so every
+  scalar CG needs (beta_t, kappa_t = <p_t, H p_t>, alpha_t, rv_t,
+  |q_t|^2 for the kernel test, <p_t, r_t>, |p_t|^2) is a tiny bilinear
+  form evaluated on-chip between passes;
+- low-rank dots  a_j = U'(A0^j v), j <= 2s-1, which (with the precomputed
+  k x k couplings  G_j = U'(A0^j U)) close the recurrence
+  U'(H^m v) = c_{0,m},  c_{i,m} = c_{i+1,m-1} + G_i B c_{0,m-1},
+  c_{i,0} = a_i,  so H^m v is formed *exactly* in registers inside the next
+  pass: V_{m} = A0(V_{m-1}) + U B U'(H^{m-1} v) with the U-dot a carried
+  scalar, never a fresh reduction.
+
+The pass then materializes the committed r/p/s outputs as basis combos,
+H-chains them to depth s, and accumulates the next group's honest dot set
+in the same fusion.  Nothing is approximated: in exact arithmetic the
+iterates equal the generic engine's (pinned by tests/test_flat_cg.py and
+the hypothesis property suite).
+
+**Exit semantics / demotion.**  Step 0 of a group implements the full
+reference semantics (truncation via the loop condition, kernel escape with
+descent alignment, boundary sigma step).  A *later* step in the group is
+taken only when it is provably an interior CG step with a well-conditioned
+scalar assembly: if step t >= 1 would hit the boundary/kernel/truncation,
+exceed max_iterations, or its kappa/rv/|q|^2 assemblies show heavy
+cancellation (> ~1-CANCEL_GUARD of the absolute mass cancels), the group
+COMMITS ONLY the steps before it ("demotion").  The next group then
+re-derives that step from fresh honest dots through the step-0 path, so
+demotion is semantically invisible — it only costs one extra sync, paid at
+most once per subproblem exit.  f32's high-power moment noise therefore
+never changes *what* the solver computes, only how many steps share a sync.
+
+Storage-dtype generic: vectors may be bf16; every dot accumulates in (at
+least) f32 and every materialized output casts back to the storage dtype.
 
 The sphere Rayleigh-quotient Hessian fits the contract exactly via its
 symmetrization  P H P = A0 + U B U'  with  A0 = 2A - rq I  (elementwise for
-diagonal/generated A),  U = [x, 2Ax],  B = [[2 rq, -1], [-1, 0]]
+diagonal/generated A),  U = (x, 2Ax),  B = [[2 rq, -1], [-1, 0]]
 (``models``/benchmarks build this via ``sphere_rayleigh_flat``).
-
-Storage-dtype generic: vectors may be bf16; every dot accumulates in (at
-least) f32 and every axpy casts back to the storage dtype.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
-from .stpcg import STPCGResult
-
 __all__ = ["FlatCGResult", "stpcg_flat", "sphere_rayleigh_flat"]
+
+# A step-t (t>=1) scalar assembly is trusted only if the surviving value
+# exceeds this fraction of the absolute mass of its terms; below it the
+# step is demoted to the next group's honest dots.  Semantically invisible
+# (see module docstring) — tuned so f32 high-power moments never decide a
+# knife-edge, while interior steps of well-conditioned subproblems (the
+# headline regime) essentially never demote.
+CANCEL_GUARD = 1e-4
 
 
 class FlatCGResult(NamedTuple):
@@ -68,7 +127,7 @@ def _dot(a, b):
     return jnp.sum(a.astype(dt) * b.astype(dt))
 
 
-class _State(NamedTuple):
+class _PairState(NamedTuple):
     """Only THREE n-vectors are carried (s, r, p): q = Hp is recomputed
     elementwise inside the pass from p and the scalar recurrence
     U'p_k = -U'r_k + beta_k U'p_{k-1}, so the fused pass reads s/r/p/U and
@@ -101,7 +160,7 @@ class _State(NamedTuple):
     boundary: jnp.ndarray
 
 
-def stpcg_flat(
+def _stpcg_flat_pair(
     g: jnp.ndarray,
     A0: Callable[[jnp.ndarray], jnp.ndarray],
     U: Optional[jnp.ndarray],
@@ -112,16 +171,15 @@ def stpcg_flat(
     kappa_fgr: float = 0.1,
     theta: float = 0.5,
     epsilon: float = 1e-8,
-) -> STPCGResult:
-    """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
-    H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
-
-    - ``A0``: elementwise (diagonal-like) linear operator; called on vectors
-      several times per iteration and expected to fuse (never materialized
-      across passes).
-    - ``U``: (n, k) dense block, ``B``: (k, k) symmetric; pass None/None for
-      a purely elementwise Hessian.
-    - Euclidean metric, no preconditioner (the generic engine covers those).
+) -> FlatCGResult:
+    """The round-2 pair-deferred engine: ONE fused ~6n-word pass + ONE
+    reduction sync per CG iteration (s updates merged across unrolled
+    iteration pairs, q = Hp recomputed elementwise, Chronopoulos-Gear
+    kappa, all assemblies at moment order <= 2).  The production path for
+    huge-n trust-region subproblems: it holds XLA to a single fusion per
+    iteration (measured ~490-570 GB/s at n=2^24; 1211 CG it/s f32, 2781
+    bf16) where the s-step engine's larger reduction group splits and runs
+    slower despite fewer syncs.
     """
     n = g.shape[0]
     dtype = g.dtype
@@ -172,7 +230,7 @@ def stpcg_flat(
     target = r0_norm * jnp.minimum(jnp.asarray(kappa_fgr, sdt),
                                    r0_norm ** theta)
 
-    st0 = _State(
+    st0 = _PairState(
         k=jnp.zeros((), jnp.int32),
         s=jnp.zeros_like(g), r=r0,
         p=jnp.zeros_like(g),
@@ -288,7 +346,7 @@ def stpcg_flat(
 
         exit_now = boundary | frozen
 
-        return _State(
+        return _PairState(
             k=jnp.where(exit_now, st.k, st.k + 1),
             s=s2,
             r=jnp.where(exit_now, st.r, r2),
@@ -312,6 +370,488 @@ def stpcg_flat(
         st1, pend = half(st, zero, apply_s=False)
         st2, _ = half(st1, pend, apply_s=True)
         return st2
+
+    st = jax.lax.while_loop(cond, body, st0)
+
+    update_step_M_norm = jnp.where(st.boundary, Delta, jnp.sqrt(st.sk2))
+    return FlatCGResult(s=st.s, update_step_M_norm=update_step_M_norm,
+                        num_iterations=st.k,
+                        predicted_decrease=-st.mval)
+
+
+
+
+def stpcg_flat(
+    g: jnp.ndarray,
+    A0: Callable[[jnp.ndarray], jnp.ndarray],
+    U,
+    B,
+    Delta,
+    *,
+    max_iterations: int = 1000,
+    kappa_fgr: float = 0.1,
+    theta: float = 0.5,
+    epsilon: float = 1e-8,
+    s_steps: int = 1,
+    solve_mode: bool = False,
+) -> FlatCGResult:
+    """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
+    H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
+
+    - ``A0``: elementwise (diagonal-like) *linear* operator; called on
+      register vectors many times per pass and expected to fuse (never
+      materialized across passes).
+    - ``U``: tuple of (n,) vectors and/or nullary callables regenerating
+      them elementwise (an (n, k) array would be padded to 128 lanes by the
+      TPU tiler, multiplying its traffic ~64x); ``B``: (k, k) symmetric.
+      Pass None/None for a purely elementwise Hessian.
+    - ``s_steps``: CG iterations advanced per reduction sync (1..3).
+      ``1`` (default) runs the pair-deferred engine — one fused ~6n-word
+      pass + one sync per iteration, assemblies at moment order <= 2 —
+      the measured-best choice for huge-n subproblems.  ``>= 2`` runs the
+      coefficient-space s-step engine, one sync per s iterations: use it
+      where the per-sync charge dominates the pass (small n, cheap or
+      preconditioned operators, e.g. the marginalized inner Laplacian
+      solves); at n=2^24 its larger reduction group loses XLA fusion and
+      it runs slower despite fewer syncs (module docstring, measured).
+    - ``solve_mode``: run as a plain truncated CG *linear solver* for
+      H s = -g (pass ``g = -rhs``, read the solution from ``s``): on a
+      curvature/kernel breakdown the engine stops at the current iterate
+      instead of taking the trust-region sigma-step to the boundary.  Use
+      with ``Delta = inf`` and ``theta = 0`` so the truncation target is the
+      plain relative-residual tolerance ``kappa_fgr * |r0|``.  This is the
+      communication-avoiding inner-solver seam (e.g. the marginalized
+      SE-Sync translation-Laplacian solve, models/pose_sync.py).
+    - Euclidean metric, no explicit preconditioner seam: fold a Jacobi/
+      diagonal preconditioner in symmetrically (A0 = D^-1/2 H D^-1/2) and
+      rank-deficiency projectors into the U B U' term (pose_sync does both).
+    - vmap-safe: under ``jax.vmap`` the while_loop body keeps executing on
+      lanes whose own condition already failed; every state write is gated
+      on the lane's live-ness so finished lanes are bit-frozen.
+    """
+    if s_steps <= 1 and not solve_mode:
+        return _stpcg_flat_pair(g, A0, U, B, Delta,
+                                max_iterations=max_iterations,
+                                kappa_fgr=kappa_fgr, theta=theta,
+                                epsilon=epsilon)
+    return _stpcg_flat_sstep(g, A0, U, B, Delta,
+                             max_iterations=max_iterations,
+                             kappa_fgr=kappa_fgr, theta=theta,
+                             epsilon=epsilon, s_steps=s_steps,
+                             solve_mode=solve_mode)
+
+
+class _State(NamedTuple):
+    """Only THREE n-vectors are carried (s, r, p); everything else is the
+    honest dot set of the previous pass plus scalar recurrences."""
+
+    k: jnp.ndarray
+    s: jnp.ndarray
+    r: jnp.ndarray
+    p: jnp.ndarray
+    h: jnp.ndarray            # (2s+1, 3) moments [<.,.>_rr, _rp, _pp]
+    a: jnp.ndarray            # (2s, 2, k) U'(A0^j r), U'(A0^j p)
+    rv_prev: jnp.ndarray      # <r,r> of the previous committed iterate
+    alpha_prev: jnp.ndarray
+    s_p: jnp.ndarray          # <s, p> after the last committed step
+    sk2: jnp.ndarray          # |s|^2
+    mval: jnp.ndarray         # model value <g,s> + 1/2 <s,Hs>
+    done: jnp.ndarray
+    boundary: jnp.ndarray
+
+
+def _stpcg_flat_sstep(
+    g: jnp.ndarray,
+    A0: Callable[[jnp.ndarray], jnp.ndarray],
+    U,
+    B,
+    Delta,
+    *,
+    max_iterations: int = 1000,
+    kappa_fgr: float = 0.1,
+    theta: float = 0.5,
+    epsilon: float = 1e-8,
+    s_steps: int = 2,
+    solve_mode: bool = False,
+) -> FlatCGResult:
+    """The s-step coefficient-space engine (module docstring); dispatched
+    from :func:`stpcg_flat` for s_steps >= 2 (and for solve_mode at s=1).
+    """
+    n = g.shape[0]
+    dtype = g.dtype
+    sdt = _acc_dt(g)
+    S = max(1, min(int(s_steps), 3))
+    K = 2 * S                   # max H-power whose moments are carried
+    dim = 2 * (K + 1)           # coefficient basis {H^i r}_{0..K} + {H^i p}
+
+    if U is None:
+        U = ()
+        B = jnp.zeros((0, 0), sdt)
+    U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
+    k_lr = len(U)
+    B = jnp.asarray(B, sdt)
+
+    Delta = jnp.asarray(Delta, sdt)
+    Delta2 = Delta * Delta
+    zero = jnp.zeros((), sdt)
+    one = jnp.ones((), sdt)
+    eps2 = jnp.asarray(epsilon, sdt) ** 2
+    guard = jnp.asarray(CANCEL_GUARD, sdt)
+
+    def Udots(v):
+        """U' v accumulated in f32+: (k,)."""
+        if k_lr == 0:
+            return jnp.zeros((0,), sdt)
+        return jnp.stack([_dot(u(), v) for u in U])
+
+    def lowrank(c):
+        """U B c as a register vector (elementwise regeneration)."""
+        out = None
+        if k_lr:
+            d = B @ c
+            for j in range(k_lr):
+                term = d[j] * U[j]().astype(sdt)
+                out = term if out is None else out + term
+        return out
+
+    def H_of(v, uv):
+        """H v = A0 v + U B (U'v) given the carried/recurred scalar U'v."""
+        out = A0(v).astype(sdt)
+        lr = lowrank(uv)
+        return out if lr is None else out + lr
+
+    # --- k x k couplings G_j = U'(A0^j U), j <= K-2 (setup-only dots) ---
+    Gs = []
+    if k_lr:
+        cols = [u().astype(sdt) for u in U]
+        for j in range(max(K - 1, 1)):
+            Gs.append(jnp.stack([Udots(c) for c in cols]).T)  # [i,l]=u_i'A0^j u_l
+            cols = [A0(c).astype(sdt) for c in cols]
+    else:
+        Gs = [jnp.zeros((0, 0), sdt)] * max(K - 1, 1)
+
+    def u_chain(a_v):
+        """u_m = U'(H^m v) for m <= K-1 from honest a_j = U'(A0^j v).
+
+        c_{i,m} = U'(A0^i H^m v):  c_{i,0} = a_i,
+        c_{i,m} = c_{i+1,m-1} + G_i B c_{0,m-1}  (exact, linearity only).
+        """
+        c = {(i, 0): a_v[i] for i in range(K)}
+        for m in range(1, K):
+            for i in range(K - m):
+                c[(i, m)] = c[(i + 1, m - 1)] + Gs[i] @ (B @ c[(0, m - 1)])
+        return [c[(0, m)] for m in range(K)]
+
+    # --- coefficient-space helpers (length-dim vectors over the basis) ---
+    def basis(i, block):
+        e = [zero] * dim
+        e[block * (K + 1) + i] = one
+        return e
+
+    def shift(co):
+        """Coefficients of H * (the vector with coefficients co)."""
+        out = [zero] * dim
+        for b in range(2):
+            for i in range(K):
+                out[b * (K + 1) + i + 1] = co[b * (K + 1) + i]
+        return out
+
+    # Coefficient ops preserve the literal ``zero`` so the static Krylov
+    # support (<= t+1 basis entries after t steps) prunes every bilinear
+    # form and materialization at trace time.
+    def axpy_co(a_, x_co, y_co):
+        out = []
+        for x_, y_ in zip(x_co, y_co):
+            if x_ is zero:
+                out.append(y_)
+            elif y_ is zero:
+                out.append(a_ * x_)
+            else:
+                out.append(a_ * x_ + y_)
+        return out
+
+    def scale_co(a_, x_co):
+        return [zero if x_ is zero else a_ * x_ for x_ in x_co]
+
+    def where_co(c, x_co, y_co):
+        return [zero if (x_ is zero and y_ is zero) else jnp.where(c, x_, y_)
+                for x_, y_ in zip(x_co, y_co)]
+
+    def mom_entry(h, i, j, b1, b2, absval=False):
+        m = i + j
+        if m > K:
+            return zero  # only reachable with a zero coefficient
+        col = {(0, 0): 0, (0, 1): 1, (1, 0): 1, (1, 1): 2}[(b1, b2)]
+        v = h[m, col]
+        return jnp.abs(v) if absval else v
+
+    def bilin(h, x_co, y_co, absval=False):
+        """x' Gram y over the basis; absval=True gives the absolute mass
+        |x|' |Gram| |y| used by the cancellation guard."""
+        tot = zero
+        for ia in range(dim):
+            b1, i = divmod(ia, K + 1)
+            if x_co[ia] is zero:
+                continue
+            for ja in range(dim):
+                b2, j = divmod(ja, K + 1)
+                if y_co[ja] is zero or i + j > K:
+                    continue
+                xa = jnp.abs(x_co[ia]) if absval else x_co[ia]
+                ya = jnp.abs(y_co[ja]) if absval else y_co[ja]
+                term = xa * ya * mom_entry(h, i, j, b1, b2, absval)
+                tot = term if tot is zero else tot + term
+        return tot
+
+    # --- initialization: honest dot set of (r0 = g, p_{-1} = 0) ---
+    r0 = g
+    r0f = r0.astype(sdt)
+    Vr = [r0f]
+    for m in range(S):
+        Vr.append(H_of(Vr[m], Udots(Vr[m])))
+    h0 = []
+    for m in range(K + 1):
+        i = min(m, S)
+        h0.append(jnp.stack([_dot(Vr[i], Vr[m - i]), zero, zero]))
+    h0 = jnp.stack(h0)                                  # (K+1, 3)
+    a0 = []
+    acc = r0f
+    for j in range(K):
+        a0.append(jnp.stack([Udots(acc), jnp.zeros((k_lr,), sdt)]))
+        acc = A0(acc).astype(sdt)
+    a0 = (jnp.stack(a0) if K else jnp.zeros((0, 2, k_lr), sdt))
+
+    rv0 = h0[0, 0]
+    r0_norm = jnp.sqrt(rv0)
+    target = r0_norm * jnp.minimum(jnp.asarray(kappa_fgr, sdt),
+                                   r0_norm ** theta)
+    target2 = target * target
+
+    st0 = _State(
+        k=jnp.zeros((), jnp.int32),
+        s=jnp.zeros_like(g), r=r0, p=jnp.zeros_like(g),
+        h=h0, a=a0,
+        rv_prev=zero, alpha_prev=one,
+        s_p=zero, sk2=zero, mval=zero,
+        done=jnp.asarray(False), boundary=jnp.asarray(False),
+    )
+
+    def cond(st: _State):
+        return ((st.k < max_iterations) & ~st.done
+                & (st.h[0, 0] > target2))
+
+    def body(st: _State) -> _State:
+        h = st.h
+        # Lane live-ness (same predicate as ``cond``): under vmap the body
+        # executes on lanes whose own condition failed; gate every commit
+        # and state write so finished lanes are bit-frozen.
+        live = ((st.k < max_iterations) & ~st.done
+                & (h[0, 0] > target2))
+
+        # ---------- scalar phase: plan up to S steps in coefficient space
+        r_co = basis(0, 0)
+        p_prev_co = basis(0, 1)
+        rv = h[0, 0]
+        rv_prev = st.rv_prev
+        alpha_prev = st.alpha_prev
+        pp_prev = h[0, 2]
+        s_p, sk2, mval = st.s_p, st.sk2, st.mval
+
+        committed = live
+        n_comm = jnp.zeros((), jnp.int32)
+        exit_boundary = jnp.asarray(False)
+        # outputs (selected per committed step count)
+        out_r_co, out_p_co = r_co, p_prev_co
+        out_sadd_co = [zero] * dim
+        out_rv, out_rvp = rv, rv_prev
+        out_ap = alpha_prev
+        out_sp, out_sk2, out_mval = s_p, sk2, mval
+
+        for t in range(S):
+            first = rv_prev == 0
+            beta = jnp.where(first, zero,
+                             rv / jnp.where(first, one, rv_prev))
+            p_co = axpy_co(beta, p_prev_co, scale_co(-one, r_co))
+            Sp_co = shift(p_co)
+            kappa = bilin(h, p_co, Sp_co)
+            qq = bilin(h, Sp_co, Sp_co)
+            ppn = bilin(h, p_co, p_co)
+            pr = bilin(h, p_co, r_co)
+
+            in_kernel = qq < eps2 * ppn
+            sign = jnp.where(in_kernel & (pr > 0), -one, one)
+            sp_t = beta * (s_p + alpha_prev * pp_prev)
+            sp_eff = sign * sp_t
+            disc = sp_eff * sp_eff + ppn * (Delta2 - sk2)
+            sigma = (-sp_eff + jnp.sqrt(jnp.maximum(disc, 0.0))) \
+                / jnp.maximum(ppn, jnp.finfo(sdt).tiny)
+
+            if solve_mode:
+                sigma = zero   # breakdown => stop at the current iterate
+
+            alpha = rv / kappa
+            sk2_next = sk2 + 2.0 * alpha * sp_t + alpha * alpha * ppn
+            boundary_t = in_kernel | (kappa <= 0) | (sk2_next > Delta2)
+
+            r_next_co = axpy_co(alpha, Sp_co, r_co)
+            rv_next = bilin(h, r_next_co, r_next_co)
+
+            if t == 0:
+                # full reference semantics: interior step, or sigma-step to
+                # the boundary (kernel escape sign included) and exit.  In
+                # solve_mode a breakdown stops at the current iterate (no
+                # boundary step) — plain linear-solver semantics.
+                take_int = committed & ~boundary_t
+                take_bnd = committed & boundary_t
+                coeff = jnp.where(take_bnd, sigma * sign,
+                                  jnp.where(take_int, alpha, zero))
+                out_sadd_co = axpy_co(coeff, p_co, out_sadd_co)
+                out_p_co = p_co
+                out_r_co = where_co(take_int, r_next_co, out_r_co)
+                out_rv = jnp.where(take_int, rv_next, out_rv)
+                out_rvp = jnp.where(take_int, rv, out_rvp)
+                out_ap = jnp.where(take_int, alpha, out_ap)
+                # carried <s,p> convention: the BEFORE-step value of the
+                # last formed p (next group adds alpha_prev*pp_prev itself)
+                out_sp = jnp.where(take_int, sp_t, out_sp)
+                out_sk2 = jnp.where(
+                    take_int, sk2_next,
+                    jnp.where(take_bnd, sk2 + 2.0 * sigma * sp_eff
+                              + sigma * sigma * ppn, out_sk2))
+                out_mval = jnp.where(
+                    take_int, mval - 0.5 * alpha * rv,
+                    jnp.where(take_bnd, mval + sigma * sign * pr
+                              + 0.5 * sigma * sigma * kappa, out_mval))
+                n_comm = n_comm + jnp.where(take_int, 1, 0)
+                exit_boundary = take_bnd
+                committed = take_int
+            else:
+                # interior-only: demote on any exit-ish condition, iteration
+                # limit, truncation, or heavy cancellation in the scalar
+                # assemblies (module docstring).
+                trunc = rv <= target2
+                over = st.k + t + 1 > max_iterations
+                kap_mass = bilin(h, p_co, Sp_co, absval=True)
+                qq_mass = bilin(h, Sp_co, Sp_co, absval=True)
+                rv_mass = bilin(h, r_next_co, r_next_co, absval=True)
+                shaky = ((jnp.abs(kappa) < guard * kap_mass)
+                         | (qq < guard * qq_mass)
+                         | (rv_next < guard * rv_mass))
+                take = committed & ~(boundary_t | trunc | over | shaky)
+                # select AFTER the product: planning coefficients can be
+                # inf/NaN when step 0 exited (alpha = rv/0 on a kernel
+                # step), and 0 * NaN would poison the accumulator.
+                out_sadd_co = where_co(take,
+                                       axpy_co(alpha, p_co, out_sadd_co),
+                                       out_sadd_co)
+                out_p_co = where_co(take, p_co, out_p_co)
+                out_r_co = where_co(take, r_next_co, out_r_co)
+                out_rv = jnp.where(take, rv_next, out_rv)
+                out_rvp = jnp.where(take, rv, out_rvp)
+                out_ap = jnp.where(take, alpha, out_ap)
+                out_sp = jnp.where(take, sp_t, out_sp)
+                out_sk2 = jnp.where(take, sk2_next, out_sk2)
+                out_mval = jnp.where(take, mval - 0.5 * alpha * rv, out_mval)
+                n_comm = n_comm + jnp.where(take, 1, 0)
+                committed = take
+
+            # advance the planning scalars for the next t
+            mval = mval - 0.5 * alpha * rv
+            rv_prev, rv = rv, rv_next
+            alpha_prev = alpha
+            pp_prev = ppn
+            s_p = sp_t
+            sk2 = sk2_next
+            r_co, p_prev_co = r_next_co, p_co
+
+        # ---------- the pass: materialize outputs, H-chain them, and
+        # accumulate the next honest dot set, all in ONE fusion group.
+        u_r = u_chain([st.a[j, 0] for j in range(K)]) if K else []
+        u_p = u_chain([st.a[j, 1] for j in range(K)]) if K else []
+
+        rf = st.r.astype(sdt)
+        pf = st.p.astype(sdt)
+        Vr = [rf]
+        Vp = [pf]
+        for m in range(S):
+            Vr.append(H_of(Vr[m], u_r[m]))
+            Vp.append(H_of(Vp[m], u_p[m]))
+
+        def u_of(co, i=0):
+            """U' (H^i x_co) by exact recurrence (no reduction).
+
+            Support <= S and i <= S-1 keep every index within the carried
+            u-chain (m + i <= 2S - 1 = K - 1)."""
+            tot = jnp.zeros((k_lr,), sdt)
+            for m in range(S + 1):
+                for b, u_ch in ((0, u_r), (1, u_p)):
+                    cmb = co[b * (K + 1) + m]
+                    if cmb is zero:
+                        continue
+                    assert m + i < K, "Krylov support exceeded"
+                    tot = tot + cmb * u_ch[m + i]
+            return tot
+
+        def mat(co):
+            """Materialize a coefficient vector (support <= S) in registers."""
+            tot = None
+            for m in range(S + 1):
+                for b, V in ((0, Vr), (1, Vp)):
+                    cmb = co[b * (K + 1) + m]
+                    if cmb is zero:
+                        continue
+                    term = cmb * V[m]
+                    tot = term if tot is None else tot + term
+            return tot if tot is not None else jnp.zeros_like(Vr[0])
+
+        R0 = mat(out_r_co)
+        P0 = mat(out_p_co)
+        s_new = (st.s.astype(sdt) + mat(out_sadd_co)).astype(dtype)
+        r_new = R0.astype(dtype)
+        p_new = P0.astype(dtype)
+
+        # H-chains of the outputs to depth S (U-dots by exact recurrence)
+        Rch = [R0]
+        Pch = [P0]
+        for i in range(S):
+            Rch.append(H_of(Rch[i], u_of(out_r_co, i)))
+            Pch.append(H_of(Pch[i], u_of(out_p_co, i)))
+
+        h_new = []
+        for m in range(K + 1):
+            i = min(m, S)
+            j = m - i
+            h_new.append(jnp.stack([
+                _dot(Rch[i], Rch[j]),
+                _dot(Rch[i], Pch[j]),
+                _dot(Pch[i], Pch[j]),
+            ]))
+        h_new = jnp.stack(h_new)
+
+        a_rows = []
+        accR, accP = R0, P0
+        for j in range(K):
+            a_rows.append(jnp.stack([Udots(accR), Udots(accP)]))
+            if j + 1 < K:
+                accR = A0(accR).astype(sdt)
+                accP = A0(accP).astype(sdt)
+        a_new = (jnp.stack(a_rows) if K else st.a)
+
+        return _State(
+            k=st.k + n_comm,
+            s=jnp.where(live, s_new, st.s),
+            r=jnp.where(live, r_new, st.r),
+            p=jnp.where(live, p_new, st.p),
+            h=jnp.where(live, h_new, st.h),
+            a=jnp.where(live, a_new, st.a),
+            rv_prev=jnp.where(live, out_rvp, st.rv_prev),
+            alpha_prev=jnp.where(live, out_ap, st.alpha_prev),
+            s_p=jnp.where(live, out_sp, st.s_p),
+            sk2=jnp.where(live, out_sk2, st.sk2),
+            mval=jnp.where(live, out_mval, st.mval),
+            done=st.done | exit_boundary,
+            boundary=st.boundary | exit_boundary,
+        )
 
     st = jax.lax.while_loop(cond, body, st0)
 

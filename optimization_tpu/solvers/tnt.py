@@ -67,6 +67,14 @@ class TNTParams(SmoothOptimizerParams):
     # effect is ~20% SLOWER than the default XLA path, even though the
     # isolated kernels are faster; kept as an opt-in for future runtimes.
     fused_dots: bool = False
+    # New (no reference counterpart): CG iterations advanced per reduction
+    # sync in the flat engine (linalg/flat_cg.py s_steps; only used when
+    # problem.flat_qm is set).  Default 1 = the pair-deferred engine, the
+    # measured-best choice for huge-n subproblems (single XLA fusion per
+    # iteration); s >= 2 (the coefficient-space s-step engine) pays off
+    # only for small-n / cheap-operator subproblems where the per-sync
+    # charge dominates (see flat_cg.py module docstring measurements).
+    flat_s_steps: int = 1
 
     def validate(self) -> None:
         super().validate()
@@ -91,6 +99,8 @@ class TNTParams(SmoothOptimizerParams):
             raise ValueError("kappa_fgr must satisfy 0 < kappa_fgr < 1")
         if self.theta < 0:
             raise ValueError("theta must be a nonnegative real number")
+        if not (1 <= self.flat_s_steps <= 3):
+            raise ValueError("flat_s_steps must be 1, 2, or 3")
 
 
 class TNTResult(NamedTuple):
@@ -236,7 +246,8 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             A0, Uf, Bf = problem.flat_qm(x, data)
             cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
                             max_iterations=params.max_TPCG_iterations,
-                            kappa_fgr=params.kappa_fgr, theta=params.theta)
+                            kappa_fgr=params.kappa_fgr, theta=params.theta,
+                            s_steps=params.flat_s_steps)
             flat_dm = cg.predicted_decrease
         else:
             flat_dm = None
