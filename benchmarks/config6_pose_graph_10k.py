@@ -7,7 +7,12 @@ single-stage SE-Sync objective with Riemannian TNT (Jacobi-preconditioned
 inner Laplacian CG), recover translations with LSQR, and check the SE-Sync
 dual certificate with LOBPCG.
 
-Metric: end-to-end certified-solve wall seconds (excluding file synthesis).
+Metric: end-to-end certified-solve wall seconds (excluding file synthesis;
+INCLUDING the first-call compiles — this is the cold single-shot
+production path).  Round-3 measured split (TPU v5e, inner_engine="cg"):
+cold 130 s, warm 29.6 s, TNT 15 outer / 134 cg, certified at the noise
+floor.  (The s-step flat inner engine was A/B'd here and lost 11x warm —
+see pose_sync._weighted_laplacian_solver's docstring.)
 vs_baseline = quality parity: 1.0 when the gauge-aligned rotation error is
 at the injected noise floor AND the solution certifies as a global optimum
 of the relaxation.

@@ -76,7 +76,8 @@ def main():
         jnp.asarray(rng.normal(size=(n_out, 3)) * 10.0, jnp.float32))
 
     t0 = time.perf_counter()
-    R, t, w_rot, w_tr, res = pose_sync.solve_robust_se(src, dst, Mij, tij, n)
+    rob = pose_sync.solve_robust_se(src, dst, Mij, tij, n)
+    R, t, w_rot, w_tr = rob.R, rob.t, rob.w_rot, rob.w_tr
     jax.block_until_ready(t)
     wall = time.perf_counter() - t0
 

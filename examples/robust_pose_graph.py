@@ -72,7 +72,8 @@ def main():
     print(f"non-robust marginalized solve: rot_err={float(pr):.4f} "
           f"t_err={float(pt):.3f}")
 
-    R, t, w_rot, w_tr, res = pose_sync.solve_robust_se(src, dst, Mij, tij, n)
+    rob = pose_sync.solve_robust_se(src, dst, Mij, tij, n)
+    R, t, w_rot, w_tr = rob.R, rob.t, rob.w_rot, rob.w_tr
     rr, tt = pose_sync.alignment_errors(
         R.astype(jnp.float64), t.astype(jnp.float64), R_true, t_true)
     w_tr = np.asarray(w_tr)

@@ -36,7 +36,8 @@ from ..solvers import tnt
 from . import rotation_sync as rs
 
 __all__ = ["PoseSyncResult", "solve_pose_graph", "recover_translations",
-           "marginalized_problem", "solve_robust_se", "alignment_errors"]
+           "marginalized_problem", "solve_robust_se", "RobustSEResult",
+           "gnc_identifiability", "alignment_errors"]
 
 
 class PoseSyncResult(NamedTuple):
@@ -110,7 +111,8 @@ def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
 
 
 def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
-                               rtol=None, jacobi=True, with_iters=False):
+                               rtol=None, jacobi=True, with_iters=False,
+                               engine="cg", s_steps=2):
     """Matrix-free (P)CG solve of the weighted graph Laplacian L_tau z = r
     (L_tau = A' diag(tau) A with A the edge incidence operator), columnwise
     on (n, k) right-hand sides.  Consistent singular systems (columns of r
@@ -121,22 +123,84 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
     vertex degree) — the preconditioner seam of the reference
     (``Riemannian/TNT.h:122-125``) instantiated for the inner solve; it
     collapses the iteration count on graphs whose tau weights or degrees
-    span orders of magnitude.  Each preconditioned residual is re-projected
-    onto range(L_tau) = {x : sum(x) = 0} (the diagonal scaling leaves the
-    consistent subspace; the projection keeps CG well-posed on the singular
-    system).
+    span orders of magnitude.
+
+    ``engine="cg"`` (default) is the Jacobi-PCG loop with per-iteration
+    re-projection onto range(L).  ``engine="flat"`` runs the
+    communication-avoiding s-step engine (``linalg/flat_cg.py`` in
+    ``solve_mode``) on the symmetrically Jacobi-transformed system
+    Lt = D^-1/2 L D^-1/2 — algebraically the same preconditioned
+    iteration with one reduction sync per ``s_steps`` iterations, all k
+    right-hand-side columns stacked into ONE flat system (a
+    vmap-of-while_loop variant wedged the axon remote compiler inside the
+    marginalized TNT), and the singular direction (Lt's nullvector
+    e = D^1/2 1 / |D^1/2 1|) *grounded* through the engine's low-rank
+    term: solving (Lt + sum_c e_c e_c') y = rt with rt projected onto
+    range(Lt) once regularizes the system (unit eigenvalue mid-spectrum)
+    and actively damps f32 null-direction drift.  MEASURED VERDICT
+    (round 3, TPU v5e): inside the 10^4-pose marginalized TNT the flat
+    path ran ~11x SLOWER warm (332 s vs 29.6 s end-to-end at s=2) — the
+    coefficient engine's scalar algebra + larger reduction group do not
+    pay at this operator's size, and the per-loop sync floor the s-step
+    design targets is far smaller inside a compiled nested loop than the
+    0.3-0.5 ms top-level figure.  The flat path stays available (exact
+    parity pinned by tests/test_pose_sync.py::TestFlatInnerSolver) for
+    runtimes/scales where syncs do dominate.
 
     ``rtol`` defaults to ``50 * eps(dtype)`` — pushing f32 CG past its
     attainable residual makes the recurrences diverge (loss of orthogonality)
     and silently corrupts the marginalized objective, so the tolerance must
     track the dtype.  A curvature-breakdown guard stops the iteration when
-    roundoff makes <p, L p> non-positive.
+    roundoff makes <p, L p> non-positive (``solve_mode`` in the flat
+    engine).
 
     ``with_iters=True`` makes the returned solve give ``(z, k)`` (iteration
     count, for preconditioner benchmarking) instead of ``z``."""
     deg = (jnp.zeros((n,), tau.dtype)
            .at[src].add(tau).at[dst].add(tau))
     inv_deg = 1.0 / jnp.maximum(deg, jnp.finfo(tau.dtype).tiny)
+
+    if engine == "flat":
+        from ..linalg.flat_cg import stpcg_flat
+
+        dsq = (jnp.sqrt(jnp.maximum(deg, jnp.finfo(tau.dtype).tiny))
+               if jacobi else jnp.ones_like(deg))
+        inv_dsq = 1.0 / dsq
+        e = dsq / jnp.sqrt(jnp.sum(dsq * dsq))
+        def solve_flat(r):
+            """All k columns as ONE flat (n*k,) system: a single while_loop
+            (not vmap-of-while_loop, whose triple-nested compile wedged the
+            axon remote compiler inside the marginalized TNT — measured
+            round 3) with one joint truncation target over the stacked
+            residual; each column gets its own grounding vector through the
+            engine's U B U' term."""
+            tol = (50.0 * jnp.finfo(r.dtype).eps if rtol is None else rtol)
+            k = r.shape[-1]
+            rt = inv_dsq[:, None] * r
+            rt = rt - e[:, None] * (e @ rt)     # into range(Lt), once
+
+            def A0(v):
+                z = inv_dsq[:, None] * v.reshape(-1, k)
+                dz = tau[:, None] * (z[dst] - z[src])
+                out = jnp.zeros_like(z)
+                out = out.at[dst].add(dz).at[src].add(-dz)
+                return (inv_dsq[:, None] * out).reshape(-1)
+
+            ecols = tuple(
+                jnp.zeros((e.shape[0], k), e.dtype).at[:, c].set(e).reshape(-1)
+                for c in range(k))
+            Bk = jnp.eye(k, dtype=r.dtype)
+
+            sol = stpcg_flat(-rt.reshape(-1), A0, ecols, Bk, jnp.inf,
+                             max_iterations=max_iterations,
+                             kappa_fgr=float(tol), theta=0.0,
+                             s_steps=s_steps, solve_mode=True)
+            z = inv_dsq[:, None] * sol.s.reshape(-1, k)
+            if with_iters:
+                return z, sol.num_iterations
+            return z
+
+        return solve_flat
 
     def L(z):
         dz = tau[:, None] * (z[dst] - z[src])
@@ -182,7 +246,8 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
 
 
 def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
-                         *, n=None, cg_iterations=400, jacobi=True):
+                         *, n=None, cg_iterations=400, jacobi=True,
+                         inner_engine="cg", inner_s_steps=2):
     """The full SE-Sync rotation problem with translations marginalized out.
 
     The SE(d) cost  sum_e kappa_e |R_j - R_i M_e|^2 + tau_e |t_j - t_i -
@@ -220,7 +285,9 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     L_conn = rs.connection_laplacian_op(rot_data, n, d)
     lap_solve = _weighted_laplacian_solver(src, dst, tau, n,
                                            max_iterations=cg_iterations,
-                                           jacobi=jacobi)
+                                           jacobi=jacobi,
+                                           engine=inner_engine,
+                                           s_steps=inner_s_steps)
 
     tijd = tij.astype(dtype)
 
@@ -303,11 +370,61 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     return problem, Q_op, n
 
 
+def gnc_identifiability(w, src, dst, n, base=None, threshold=0.5,
+                        rel_cut=0.02):
+    """Per-vertex identifiability of a GNC/IRLS fit from its final weights.
+
+    An edge counts as *retained* when its final weight clears
+    ``rel_cut * median(w)`` — at the Geman-McClure endpoint (mu = 1) even
+    clean inliers sit at w ~ (c^2/(c^2+r))^2 ~ 0.25 (their residuals ARE
+    the scale estimate) with a noise tail reaching w ~ 1e-2, while
+    rejected outliers fall to ~(c^2/r)^2 ~ 1e-6..1e-9; the relative cut
+    (default 0.02 * median ~ 5e-3 absolute) sits in the orders-of-
+    magnitude gap between the two populations without assuming an
+    absolute weight scale.  ``frac_i`` is the base-information-
+    weighted retained fraction of vertex i's incident edges;
+    ``identifiable_i = frac_i >= threshold`` (strict inlier majority).
+
+    A vertex that keeps the majority is anchored by an inlier consensus;
+    one that loses it sits between (near-)equal-cost robust basins and its
+    estimate is reported as ambiguous rather than trusted silently — the
+    same philosophy as the framework's status enums and LOBPCG
+    ``pencil_consistent`` flag (reference status reporting seam:
+    ``Riemannian/TNT.h:134-164``).  The median baseline assumes the fit
+    itself is majority-inlier globally (GNC's own working assumption); a
+    *mutually consistent* corrupted majority is indistinguishable from
+    inliers by any weight-based criterion.
+
+    Returns ``(identifiable (n,) bool, frac (n,))``.
+    """
+    base = (jnp.ones_like(w) if base is None else base)
+    retained = (w >= rel_cut * jnp.median(w)).astype(w.dtype)
+    mass = (jnp.zeros((n,), w.dtype)
+            .at[src].add(base * retained).at[dst].add(base * retained))
+    total = (jnp.zeros((n,), w.dtype)
+             .at[src].add(base).at[dst].add(base))
+    frac = mass / jnp.maximum(total, jnp.finfo(w.dtype).tiny)
+    return frac >= threshold, frac
+
+
+class RobustSEResult(NamedTuple):
+    R: jnp.ndarray            # (n, d, d) robust rotations
+    t: jnp.ndarray            # (n, d) robust translations
+    w_rot: jnp.ndarray        # (E,) final rotation-channel GNC weights
+    w_tr: jnp.ndarray         # (E,) final translation-channel GNC weights
+    result: Any               # TNTResult of the last GNC stage
+    # Per-vertex flag (gnc_identifiability, min over both channels) and its
+    # conjunction: False marks vertices whose incident inlier mass lost the
+    # majority — fundamentally ambiguous robust estimates.
+    identifiable: jnp.ndarray
+    all_identifiable: jnp.ndarray
+
+
 def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
                     params: Optional[tnt.TNTParams] = None,
                     gnc_steps: int = 6, mu0: float = 64.0,
                     c2_rot=None, c2_tr=None, anchor: int = 0, key=None,
-                    weight_floor: float = 1e-4):
+                    weight_floor: float = 1e-4) -> "RobustSEResult":
     """Outlier-robust SE(d) pose synchronization: Geman-McClure graduated
     non-convexity over the *marginalized* single-stage objective, reweighting
     both measurement channels of every edge through their information seams
@@ -339,7 +456,17 @@ def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
     disconnected (condition ~ 1/w), stalling its CG; the floor caps the
     conditioning while still suppressing outliers by 1/weight_floor.
 
-    Returns ``(R, t, w_rot, w_tr, tnt_result)``.
+    Returns a :class:`RobustSEResult` ``(R, t, w_rot, w_tr, result,
+    identifiable, all_identifiable)``.  ``identifiable`` is the per-vertex
+    flag of :func:`gnc_identifiability` evaluated at the final weights
+    (min over the rotation and translation channels): a vertex whose
+    incident measurements keep a strict inlier-mass majority.  Vertices
+    with a local outlier majority sit between two (near-)equal-cost robust
+    basins — the estimate there is fundamentally ambiguous, and the flag
+    makes that visible instead of silently returning one basin.  (A
+    *mutually consistent* corrupted majority is indistinguishable from
+    inliers by any weight-based criterion; the flag reports retained-mass
+    minority, the detectable failure mode.)
     """
     dtype = Mij.dtype
     base_kappa = (kappa if kappa is not None
@@ -415,7 +542,13 @@ def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
             weights=base_tau * jnp.maximum(w_tr, floor), anchor=anchor)
         r_rot = rot_residuals(R)
         r_tr = tr_residuals(R, t)
-    return R, t, w_rot, w_tr, res
+
+    id_rot, frac_rot = gnc_identifiability(w_rot, src, dst, n, base_kappa)
+    id_tr, frac_tr = gnc_identifiability(w_tr, src, dst, n, base_tau)
+    identifiable = id_rot & id_tr
+    return RobustSEResult(R=R, t=t, w_rot=w_rot, w_tr=w_tr, result=res,
+                          identifiable=identifiable,
+                          all_identifiable=jnp.all(identifiable))
 
 
 def alignment_errors(R, t, R_true, t_true):
@@ -446,7 +579,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                      anchor: int = 0, key=None,
                      certify: bool = False,
                      marginalized: bool = False,
-                     tau=None) -> PoseSyncResult:
+                     tau=None, inner_engine="cg",
+                     inner_s_steps=2) -> PoseSyncResult:
     """Full SE(d) pose synchronization of an ``io.g2o.PoseGraph``.
 
     With ``certify=True`` the rotation estimate is checked for *global*
@@ -468,7 +602,9 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
     if marginalized:
         problem, Q_op, n = marginalized_problem(src, dst, Mij, tij,
                                                 kappa=kappa, tau=tau,
-                                                n=graph.n_vertices)
+                                                n=graph.n_vertices,
+                                                inner_engine=inner_engine,
+                                                inner_s_steps=inner_s_steps)
         rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
         Q0 = rs.spectral_init(rot_data, n, Mij.shape[-1],
                               key=key).astype(dtype)

@@ -17,7 +17,7 @@ All heavy ops are (E, d, d) batched matmuls: MXU-shaped work on TPU.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ from ..manifolds.stiefel import ROTATIONS
 
 __all__ = ["RotationSyncData", "CertificateResult", "certify",
            "make_problem", "random_instance", "random_fleet",
-           "solve_robust", "mean_rotation_error"]
+           "solve_robust", "RobustResult", "mean_rotation_error"]
 
 
 class RotationSyncData(NamedTuple):
@@ -76,11 +76,37 @@ def jacobi_precon(x, v, data: RotationSyncData):
     return v * inv[:, None, None]
 
 
-def make_problem(preconditioned: bool = False) -> RiemannianProblem:
+def make_problem(preconditioned: bool = False,
+                 flat: bool = False) -> RiemannianProblem:
     """The chordal rotation-sync problem; ``preconditioned=True`` installs
-    the block-Jacobi preconditioner (:func:`jacobi_precon`)."""
-    return RiemannianProblem(f=chordal_cost, manifold=ROTATIONS,
+    the block-Jacobi preconditioner (:func:`jacobi_precon`).
+
+    ``flat=True`` routes the trust-region subproblem through the
+    single-synchronization flat engine (``linalg/flat_cg.py``) by exposing
+    the full Riemannian Hessian closure as the engine's fusible operator
+    (U = None).  The ambient Frobenius metric (``_inner``) is the
+    Euclidean dot the engine's contract requires, and the tame
+    connection-Laplacian spectrum (<= ~4 kappa_max deg_max) keeps even
+    the s >= 2 moment assemblies well within f32 at rotation-sync scales
+    (group size via ``TNTParams.flat_s_steps``).  NOTE the measured
+    caveat (flat_cg.py module docstring): on the current runtime the
+    engine's restructurings have not beaten the generic STPCG inside
+    nested compiled loops — treat this as an equivalence-tested
+    alternative path, not a default (exact parity:
+    tests/test_rotation_sync.py::test_flat_engine_matches_generic).
+    Mutually exclusive with ``preconditioned`` (TNT falls back to the
+    generic engine when a preconditioner is installed)."""
+    base = RiemannianProblem(f=chordal_cost, manifold=ROTATIONS,
                              precon=jacobi_precon if preconditioned else None)
+    if not flat or preconditioned:
+        return base
+
+    def flat_qm(x, data):
+        _, hvp = base.qm(x, data)
+        return hvp, None, None
+
+    import dataclasses
+    return dataclasses.replace(base, flat_qm=flat_qm)
 
 
 def random_instance(key, n: int, d: int = 3, extra_edges: int = 0,
@@ -202,9 +228,17 @@ def spectral_init(data: RotationSyncData, n: int, d: int = 3,
     return R
 
 
+class RobustResult(NamedTuple):
+    R: jnp.ndarray            # (n, d, d) robust rotations
+    weights: jnp.ndarray      # (E,) final GNC weights (outliers -> ~0)
+    result: Any               # TNTResult of the last GNC stage
+    identifiable: jnp.ndarray # (n,) per-vertex inlier-majority flag
+    all_identifiable: jnp.ndarray
+
+
 def solve_robust(data: RotationSyncData, n: int, d: int = 3, *,
                  params=None, gnc_steps: int = 6, mu0: float = 64.0,
-                 c2: Optional[float] = None, key=None):
+                 c2: Optional[float] = None, key=None) -> "RobustResult":
     """Outlier-robust rotation synchronization: Geman-McClure via graduated
     non-convexity (GNC), implemented as iteratively reweighted chordal solves
     over the per-edge ``kappa`` seam.
@@ -218,8 +252,12 @@ def solve_robust(data: RotationSyncData, n: int, d: int = 3, *,
     quadratic; mu = 1 is Geman-McClure).  ``c2`` is the inlier scale
     (squared residual); defaults to the median residual of the initial fit.
 
-    Returns ``(R, weights, tnt_result)``: the robust estimate, the final
-    per-edge weights (outliers -> ~0), and the last TNT result.
+    Returns a :class:`RobustResult` ``(R, weights, result, identifiable,
+    all_identifiable)``: the robust estimate, the final per-edge weights
+    (outliers -> ~0), the last TNT result, and the per-vertex
+    identifiability flag of ``pose_sync.gnc_identifiability`` at the final
+    weights (vertices whose incident inlier mass lost the strict majority
+    are ambiguous between robust basins and flagged False).
     """
     from ..solvers import tnt as _tnt
 
@@ -257,7 +295,13 @@ def solve_robust(data: RotationSyncData, n: int, d: int = 3, *,
         res = _tnt.solve(make_problem(), R, params, data=wdata)
         R = res.x
         r = residuals(R)
-    return R, w, res
+
+    from .pose_sync import gnc_identifiability
+    identifiable, _ = gnc_identifiability(w, data.src, data.dst, n,
+                                          base_kappa)
+    return RobustResult(R=R, weights=w, result=res,
+                        identifiable=identifiable,
+                        all_identifiable=jnp.all(identifiable))
 
 
 class CertificateResult(NamedTuple):

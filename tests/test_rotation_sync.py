@@ -9,6 +9,7 @@ SO(3)^n, asserting convergence to the noise floor on multiple instances.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from optimization_tpu.core.types import TNTStatus
 from optimization_tpu.models import rotation_sync as rs
@@ -66,6 +67,32 @@ def test_pipeline_converges():
         assert int(res.num_iterations) <= 20
         assert float(rs.mean_rotation_error(res.x, R_true)) < 0.1
         # Iterates stay on SO(3)^n
+        eye = jnp.swapaxes(res.x, -1, -2) @ res.x
+        np.testing.assert_allclose(np.asarray(eye),
+                                   np.tile(np.eye(D), (N, 1, 1)), atol=1e-9)
+
+
+def test_flat_engine_matches_generic():
+    """make_problem(flat=True) routes TNT through the single-sync flat
+    engine with the full Hessian closure as the fusible operator; the
+    converged optimum, status, and effort match the generic engine at
+    every group size."""
+    R_true, data = _instance(6)
+    R0 = rs.spectral_init(data, N, D)
+    ref = tnt.solve(rs.make_problem(), R0, PARAMS, data=data)
+    assert int(ref.status) == TNTStatus.GRADIENT
+    for s in (1, 2, 3):
+        params = tnt.TNTParams(
+            max_iterations=100, gradient_tolerance=1e-8,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0, flat_s_steps=s)
+        res = tnt.solve(rs.make_problem(flat=True), R0, params, data=data)
+        assert int(res.status) == TNTStatus.GRADIENT, s
+        np.testing.assert_allclose(float(res.f), float(ref.f), rtol=1e-10)
+        assert abs(int(res.num_iterations) - int(ref.num_iterations)) <= 2
+        err = rs.mean_rotation_error(res.x, ref.x)
+        assert float(err) < 1e-6, (s, float(err))
+        # manifold integrity through the flat path
         eye = jnp.swapaxes(res.x, -1, -2) @ res.x
         np.testing.assert_allclose(np.asarray(eye),
                                    np.tile(np.eye(D), (N, 1, 1)), atol=1e-9)
@@ -175,6 +202,7 @@ def test_certificate_rejects_non_optimum():
     assert float(cert.lam_min) < 0
 
 
+@pytest.mark.slow
 def test_certify_vmapped_fleet():
     """Certification vmaps over a fleet sharing one edge topology."""
     B = 3
@@ -197,6 +225,7 @@ def test_certify_vmapped_fleet():
     assert float(jnp.max(stat)) < 1e-6
 
 
+@pytest.mark.slow
 def test_robust_gnc_rejects_outliers():
     """20% of the edges replaced by random rotations: the plain weighted
     solve is dragged off, GNC recovers the truth and drives the outlier
@@ -215,7 +244,9 @@ def test_robust_gnc_rejects_outliers():
     plain = tnt.solve(rs.make_problem(), R0, PARAMS, data=cdata)
     err_plain = float(rs.mean_rotation_error(plain.x, R_true))
 
-    R_rob, w, res = rs.solve_robust(cdata, N, D, params=PARAMS)
+    rob = rs.solve_robust(cdata, N, D, params=PARAMS)
+    R_rob, w = rob.R, rob.weights
+    assert bool(rob.all_identifiable)
     err_rob = float(rs.mean_rotation_error(R_rob, R_true))
 
     assert err_rob < 0.05
@@ -225,6 +256,37 @@ def test_robust_gnc_rejects_outliers():
     inlier_mask = np.ones(E, bool)
     inlier_mask[np.asarray(out_idx)] = False
     assert np.median(w[~inlier_mask]) < 0.1 * np.median(w[inlier_mask])
+
+
+@pytest.mark.slow
+def test_gnc_identifiability_flags_local_outlier_majority():
+    """A vertex whose incident edges are majority-corrupted (mutually
+    inconsistent random rotations) is fundamentally ambiguous between
+    robust basins; solve_robust flags exactly that vertex as
+    non-identifiable while a globally-identifiable instance stays clean
+    (docs/ROADMAP.md round-2 'GNC identifiability' item)."""
+    R_true, data = _instance(17, noise=0.02)
+    src, dst = np.asarray(data.src), np.asarray(data.dst)
+    v = 10
+    inc = np.where((src == v) | (dst == v))[0]
+    assert len(inc) >= 3
+    n_corr = int(np.ceil(0.75 * len(inc)))   # strict local majority
+    corr = inc[:n_corr]
+    bad = rs.ROTATIONS.rand(jax.random.PRNGKey(5), n_corr, D, D).astype(
+        jnp.float64)
+    cdata = rs.RotationSyncData(src=data.src, dst=data.dst,
+                                Rij=data.Rij.at[jnp.asarray(corr)].set(bad))
+
+    rob = rs.solve_robust(cdata, N, D, params=PARAMS)
+    ident = np.asarray(rob.identifiable)
+    assert not bool(rob.all_identifiable)
+    assert not ident[v], "locally-outlier-majority vertex must be flagged"
+    # the contamination is local: the vast majority of vertices stay clean
+    assert ident.sum() >= N - 3
+
+    # control: the uncorrupted instance is fully identifiable
+    clean = rs.solve_robust(data, N, D, params=PARAMS)
+    assert bool(clean.all_identifiable)
 
 
 def _hub_chain_instance(key, n=40, d=3, noise=0.02):
@@ -249,6 +311,7 @@ def _hub_chain_instance(key, n=40, d=3, noise=0.02):
                                        Rij=pert @ Rij_clean, kappa=kappa)
 
 
+@pytest.mark.slow
 def test_jacobi_preconditioned_tnt():
     """Block-Jacobi preconditioning (ref TNT.h:122-125 seam): same optimum,
     measurably fewer inner CG iterations on an ill-conditioned graph."""
