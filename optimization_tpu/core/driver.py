@@ -114,7 +114,8 @@ def _adapter_for(solver, problem, params, data, user_function):
         from ..core.types import GradientDescentStatus as S
 
         def run(x, carry, n):
-            return solver.solve(problem, x, _chunk_params(params, n), data)
+            return solver.solve(problem, x, _chunk_params(params, n), data,
+                                user_function=user_function)
 
         def fmt(r, i, k, p):
             return (f"Iter: {k:4d}  f: {r.objective_values[i]:+.{p}e}  "

@@ -96,6 +96,12 @@ class GradientDescentStatus(enum.IntEnum):
     LINE_SEARCH = 4
     ITERATION_LIMIT = 5
     ELAPSED_TIME = 6
+    # Extension beyond the reference enum (GradientDescent.h:62-85 has no
+    # user stop): our GD takes a *terminating* jittable user_function like
+    # the other five engines; the reference's void per-iteration callback
+    # semantics are recovered by the host driver's observer= at
+    # chunk_iterations=1 (tests/test_driver.py pins the equivalence).
+    USER_FUNCTION = 7
 
 
 class TNTStatus(enum.IntEnum):

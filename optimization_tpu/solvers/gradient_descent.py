@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -91,8 +91,20 @@ def solve(
     x0: Any,
     params: GradientDescentParams = GradientDescentParams(),
     data: Any = None,
+    user_function: Optional[Callable[..., jnp.ndarray]] = None,
 ) -> GradientDescentResult:
     """Minimize ``problem`` from ``x0``.  Fully jitted; vmappable over batches.
+
+    ``user_function(k, t, x, f, grad, h, df) -> bool`` is an optional pure
+    stopping predicate evaluated once per outer iteration with the
+    arguments of the reference's ``GradientDescentUserFunction``
+    (``GradientDescent.h:22-40``: iteration, accepted stepsize, iterate,
+    objective, gradient, update step, objective decrease) — but
+    *terminating*, like the other five engines' user functions (the
+    reference's is a void observer; its exact per-iteration observation
+    semantics live in the host driver's ``observer=`` at
+    ``chunk_iterations=1``).  A True return stops the solve BEFORE the
+    update is applied, with status ``USER_FUNCTION``.
 
     For wall-clock limits (``max_computation_time``), per-iteration verbose
     output, ``result.times``, and host observers, run through
@@ -101,12 +113,12 @@ def solve(
     support host callbacks at all).
     """
     params.validate()
-    return _solve(problem, params, x0, data)
+    return _solve(problem, params, user_function, x0, data)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1, 2))
 def _solve(problem: RiemannianProblem, params: GradientDescentParams,
-           x0: Any, data: Any) -> GradientDescentResult:
+           user_function, x0: Any, data: Any) -> GradientDescentResult:
     M = problem.manifold
     n_trace = params.max_iterations + 1
 
@@ -180,6 +192,14 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         h_norm = t * st.gradnorm
         relative_decrease = df / (jnp.abs(st.f) + sqrt_eps)
 
+        if user_function is not None:
+            h = tree_scale(-t, st.grad)
+            user_stop = jnp.asarray(user_function(
+                st.k, t, st.x, st.f, st.grad, h, df))
+            accept = accept & ~user_stop
+        else:
+            user_stop = jnp.asarray(False)
+
         x_new = tree_where(accept, x_prop, st.x)
         f_new = jnp.where(accept, f_prop, st.f)
         g_new = problem.rgrad(x_new, data)
@@ -188,17 +208,21 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         gn_new = jnp.where(accept, gn_new, st.gradnorm)
 
         status = jnp.where(
-            ls_failed,
-            GradientDescentStatus.LINE_SEARCH.value,
+            user_stop,
+            GradientDescentStatus.USER_FUNCTION.value,
             jnp.where(
-                relative_decrease < params.relative_decrease_tolerance,
-                GradientDescentStatus.RELATIVE_DECREASE.value,
-                jnp.where(h_norm < params.stepsize_tolerance,
-                          GradientDescentStatus.STEPSIZE.value,
-                          GradientDescentStatus.RUNNING.value))).astype(jnp.int32)
+                ls_failed,
+                GradientDescentStatus.LINE_SEARCH.value,
+                jnp.where(
+                    relative_decrease < params.relative_decrease_tolerance,
+                    GradientDescentStatus.RELATIVE_DECREASE.value,
+                    jnp.where(h_norm < params.stepsize_tolerance,
+                              GradientDescentStatus.STEPSIZE.value,
+                              GradientDescentStatus.RUNNING.value)))
+        ).astype(jnp.int32)
 
         return st._replace(
-            k=jnp.where(ls_failed, st.k, st.k + 1),
+            k=jnp.where(ls_failed | user_stop, st.k, st.k + 1),
             x=x_new, f=f_new, grad=g_new, gradnorm=gn_new,
             status=status,
             update_step_norms=st.update_step_norms.at[st.k].set(

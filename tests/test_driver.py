@@ -169,6 +169,83 @@ class TestHostFacilities:
                      observer=lambda k, r, t: seen.append(k))
         assert seen == [5, 10, 15, 20]
 
+    def test_per_iteration_observer_parity(self):
+        """chunk_iterations=1 recovers the reference's per-iteration void
+        callback semantics exactly (GradientDescent.h:34-39,
+        ProximalGradient.h:45-49): the observer fires once per iteration,
+        and each call sees the iteration-start objective of the monolithic
+        solve's trace."""
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=12, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0)
+        mono = gradient_descent.solve(problem, X0, params)
+        fs, ks = [], []
+        driver.drive(gradient_descent, problem, X0, params,
+                     chunk_iterations=1,
+                     observer=lambda k, r, t: (
+                         ks.append(k), fs.append(float(r.objective_values[0]))))
+        n = int(mono.num_iterations)
+        assert ks == list(range(1, n + 1))          # one call per iteration
+        np.testing.assert_allclose(
+            fs, np.asarray(mono.objective_values)[:n], rtol=0, atol=0)
+
+        # proximal gradient (FISTA): same per-iteration equivalence
+        A = jnp.array([[2.0, 0.3], [0.1, 1.5], [0.4, -0.2]])
+        b = jnp.array([1.0, 0.5, -0.3])
+        mu = 0.05
+        cp = CompositeProblem(
+            f=lambda x, d: 0.5 * jnp.sum((A @ x - b) ** 2),
+            g=lambda x, d: mu * jnp.sum(jnp.abs(x)),
+            prox_g=lambda x, lam, d: prox.soft_threshold(x, lam * mu))
+        pparams = proximal_gradient.ProximalGradientParams(
+            max_iterations=15, composite_gradient_tolerance=0.0,
+            relative_composite_gradient_tolerance=0.0)
+        pmono = proximal_gradient.solve(cp, jnp.zeros(2), pparams)
+        pfs = []
+        driver.drive(proximal_gradient, cp, jnp.zeros(2), pparams,
+                     chunk_iterations=1,
+                     observer=lambda k, r, t: pfs.append(
+                         float(r.objective_values[0])))
+        pn = int(pmono.num_iterations)
+        assert len(pfs) == pn
+        np.testing.assert_allclose(
+            pfs, np.asarray(pmono.objective_values)[:pn], rtol=0, atol=0)
+
+    def test_admm_per_iteration_observer_parity(self):
+        """drive_admm at chunk_iterations=1: one observer call per ADMM
+        iteration, each seeing that iteration's residuals (the reference's
+        per-iteration callback, ADMM.h:71-76)."""
+        key_A = jnp.array([[2.0, 0.3], [0.1, 1.5], [0.4, -0.2]])
+        b = jnp.array([1.0, 0.5, -0.3])
+        mu = 0.05
+        AtA = key_A.T @ key_A
+        Atb = key_A.T @ b
+
+        def minLx(y, lam, rho, data):
+            M = AtA + rho * jnp.eye(2)
+            return jnp.linalg.solve(M, Atb + rho * y - lam)
+
+        def minLy(x, lam, rho, data):
+            return prox.soft_threshold(x + lam / rho, mu / rho)
+
+        problem = admm.ADMMProblem(
+            minLx=minLx, minLy=minLy,
+            A=lambda x, d: x, B=lambda y, d: -y, At=lambda r, d: r)
+        params = admm.ADMMParams(
+            max_iterations=25, mode=admm.ADMMMode.ACCELERATED,
+            eps_abs_pri=1e-7, eps_abs_dual=1e-7, eps_rel=1e-8)
+        c = jnp.zeros(2)
+        mono = admm.solve(problem, c, X0, X0, params)
+        rs = []
+        driver.drive_admm(problem, c, X0, X0, params, chunk_iterations=1,
+                          observer=lambda k, r, t: rs.append(
+                              float(r.primal_residuals[0])))
+        n = int(mono.num_iterations)
+        assert len(rs) == n
+        np.testing.assert_allclose(
+            rs, np.asarray(mono.primal_residuals)[:n], rtol=0, atol=0)
+
     def test_checkpoint_written(self, tmp_path):
         problem = RiemannianProblem(f=rosenbrock)
         params = tnt.TNTParams(max_iterations=10, gradient_tolerance=0.0,

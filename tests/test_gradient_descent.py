@@ -92,3 +92,29 @@ def test_param_validation():
         gd.GradientDescentParams(beta=1.5).validate()
     with pytest.raises(ValueError):
         gd.GradientDescentParams(gradient_tolerance=-1.0).validate()
+
+
+def test_user_function_stops():
+    """The jittable terminating user function (the seam the other five
+    engines already have; the reference's GD callback is a void observer,
+    GradientDescent.h:22-40) stops the solve BEFORE applying the update."""
+    from optimization_tpu.core.types import GradientDescentStatus
+
+    problem = RiemannianProblem(f=rosenbrock, manifold=euclidean())
+    params = gd.GradientDescentParams(
+        max_iterations=500, gradient_tolerance=1e-10,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0)
+    x0 = jnp.array([0.1, 0.1])
+
+    def stop_after_5(k, t, x, f, grad, h, df):
+        return k >= 5
+
+    res = gd.solve(problem, x0, params, user_function=stop_after_5)
+    assert int(res.status) == GradientDescentStatus.USER_FUNCTION
+    assert int(res.num_iterations) == 5
+    # the iterate equals the plain solve's 5-iteration point (stop fires
+    # before the 6th update is applied)
+    ref = gd.solve(problem, x0, gd.GradientDescentParams(
+        max_iterations=5, gradient_tolerance=1e-10,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0))
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
