@@ -21,6 +21,7 @@ CONFIGS = [
     "config7_bf16_tier",
     "config8_robust_se",
     "config9_matrix_completion",
+    "config10_lobpcg_fleet",
 ]
 
 

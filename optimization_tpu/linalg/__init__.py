@@ -1,3 +1,3 @@
 from .stpcg import STPCGResult, stpcg
-from .lobpcg import LOBPCGResult, lobpcg, rayleigh_ritz
+from .lobpcg import LOBPCGResult, lobpcg, lobpcg_fleet, rayleigh_ritz
 from .lsqr import LSQRResult, lsqr

@@ -251,3 +251,25 @@ def test_vmapped_fleet():
     for b in range(B):
         th_ref = np.sort(np.asarray(ds[b]))[:nev]
         np.testing.assert_allclose(np.asarray(thetas[b]), th_ref, atol=1e-6)
+
+
+def test_lobpcg_fleet_api():
+    """lobpcg_fleet batches whole solves over a stacked data PyTree; each
+    instance matches its standalone solve's eigenvalues."""
+    from optimization_tpu.linalg.lobpcg import lobpcg_fleet
+
+    B, m, nx, nev = 5, 250, 8, 3
+    rng = np.random.default_rng(9)
+    ds = jnp.asarray(rng.uniform(1.0, 40.0, (B, m)))
+
+    res = lobpcg_fleet(lambda S, d: d[:, None] * S, ds,
+                       T=lambda S, d: S / d[:, None],
+                       m=m, nx=nx, nev=nev, max_iterations=200, tau=1e-8,
+                       key=jax.random.PRNGKey(2))
+    assert res.theta.shape == (B, nev)
+    assert bool(jnp.all(res.num_converged >= nev))
+    assert bool(jnp.all(res.pencil_consistent))
+    for b in range(B):
+        th_ref = np.sort(np.asarray(ds[b]))[:nev]
+        np.testing.assert_allclose(np.asarray(res.theta[b]), th_ref,
+                                   atol=1e-6)
