@@ -72,15 +72,22 @@ R2_CG_PER_S = 1230.8
 TARGET_CG_PER_S = 1850.0
 
 
-def run_tier(n, dtype, grad_tol):
+def run_tier(n, dtype, grad_tol, max_tpcg=50):
     """One TNT solve of the headline config in the given storage dtype.
 
     Returns (cg_per_s, outer, inner, dt, fstar).  Timing closes with a
     host transfer (float(res.f)): on this runtime block_until_ready can
     return before the remote execution finishes.
+
+    The outer iteration runs through the fused trial-step evaluator
+    (``sphere_rayleigh_step`` -> ``RiemannianProblem.step_eval``): the
+    retraction, trial objective, and trial gradient come from ONE ~4n-word
+    pass + one reduction sync instead of the ~3 ms of separate passes
+    (VERDICT round-2 item 7).
     """
     from optimization_tpu import RiemannianProblem
-    from optimization_tpu.linalg.flat_cg import sphere_rayleigh_flat
+    from optimization_tpu.linalg.flat_cg import (sphere_rayleigh_flat,
+                                                 sphere_rayleigh_step)
     from optimization_tpu.manifolds import sphere
     from optimization_tpu.solvers import tnt
 
@@ -98,13 +105,16 @@ def run_tier(n, dtype, grad_tol):
     def grad(x, dd):
         return M.proj(x, (2.0 * A_elem(x)).astype(dtype))
 
-    def flat_qm(x, dd):
-        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+    def flat_qm(x, dd, rq=None):
+        # rq arrives as the step_eval aux carry: the trial evaluation's
+        # Rayleigh quotient, so no fresh reduction precedes the CG init.
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
         return A0, U, B
 
-    problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm)
+    problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
+                                step_eval=sphere_rayleigh_step(A_elem))
     params = tnt.TNTParams(
-        max_iterations=30, max_TPCG_iterations=50,
+        max_iterations=30, max_TPCG_iterations=max_tpcg,
         gradient_tolerance=grad_tol, relative_decrease_tolerance=0.0,
         stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
 
@@ -134,6 +144,17 @@ def main():
     # effort to the full 30 outer iterations; the f32 tier runs the same
     # 30 because 1e-5 is unreachable in 30 on this kappa=1000 problem)
     rate, outer, inner, dt, fstar = run_tier(n, jnp.bfloat16, 0.0)
+    # outer/CG split by a two-point fit: a second bf16 run at half the
+    # inner-iteration cap shares the outer count, so
+    #   per_cg = d(dt)/d(inner),  per_outer = (dt - inner*per_cg)/outer.
+    _, outer_h, inner_h, dt_h, _ = run_tier(n, jnp.bfloat16, 0.0,
+                                            max_tpcg=25)
+    if inner != inner_h and outer > 0:
+        per_cg = (dt - dt_h) / (inner - inner_h)
+        per_outer = max(dt - inner * per_cg, 0.0) / outer
+    else:
+        per_cg = dt / max(inner, 1)
+        per_outer = 0.0
 
     # Effective HBM traffic of the flat CG iteration: the fused pass reads
     # r/p/x and writes r/p every iteration, plus s read+write every OTHER
@@ -150,6 +171,8 @@ def main():
                  f"{inner} cg in {dt:.2f}s; single-sync flat CG moves ~6n "
                  f"bf16 words/iter -> {gbps:.0f} GB/s = {gbps / spec:.2f} "
                  f"of {spec:.0f} GB/s spec; f*={fstar:.4f} (exact 1.0); "
+                 f"split: ~{per_cg * 1e3:.2f} ms/cg + "
+                 f"~{per_outer * 1e3:.2f} ms/outer (two-point fit); "
                  f"f32 tier: {f32_rate:.0f} cg it/s ({f32_outer} outer / "
                  f"{f32_inner} cg in {f32_dt:.2f}s, {f32_gbps:.0f} GB/s, "
                  f"f*={f32_f:.4f}); history: r1=674, r2=1231 (f32), "

@@ -1,0 +1,164 @@
+"""Command-line front end: certifiable pose-graph solving from g2o files.
+
+The production entry point a SLAM/SfM user reaches for first:
+
+    python -m optimization_tpu solve graph.g2o [options]
+
+loads a standard g2o pose graph (native C++ parser when available), runs
+the SE-Sync pipeline (``models/pose_sync.py``) — spectral initialization,
+Riemannian TNT on the rotation stage (two-stage chordal or single-stage
+translation-marginalized), LSQR translation recovery — optionally checks
+the SE-Sync global-optimality certificate and/or runs the GNC-robust
+solver, and writes the estimated poses back as g2o VERTEX lines (plus the
+input edges) or as an .npz.
+
+The reference library has no CLI (it is header-only C++); this surface
+exists because the framework is a *standalone product* whose flagship
+model family is certifiable pose synchronization.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _build_parser():
+    p = argparse.ArgumentParser(
+        prog="python -m optimization_tpu",
+        description="TPU-native certifiable optimization — pose-graph CLI")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("solve", help="solve a g2o pose graph (SE-Sync)")
+    s.add_argument("graph", help="path to a .g2o file (SE2 or SE3:QUAT)")
+    s.add_argument("--marginalized", action="store_true",
+                   help="single-stage translation-marginalized objective "
+                        "(translations inform rotations)")
+    s.add_argument("--certify", action="store_true",
+                   help="check the SE-Sync dual certificate of global "
+                        "optimality (LOBPCG on S = Q - Lambda)")
+    s.add_argument("--robust", action="store_true",
+                   help="Geman-McClure GNC over both measurement channels "
+                        "(outlier-robust; reports per-vertex "
+                        "identifiability)")
+    s.add_argument("--dtype", choices=["f32", "f64"], default="f32",
+                   help="iterate dtype (f64 runs emulated on TPU; use on "
+                        "CPU only)")
+    s.add_argument("--max-iterations", type=int, default=100)
+    s.add_argument("--gradient-tolerance", type=float, default=None,
+                   help="TNT gradient tolerance (default: 2e-3 f32 / "
+                        "1e-8 f64)")
+    s.add_argument("--out", default=None,
+                   help="write solution: .g2o (VERTEX lines + input "
+                        "edges) or .npz (R, t arrays)")
+    s.add_argument("--json", action="store_true",
+                   help="print a single machine-readable JSON summary "
+                        "line instead of prose")
+    return p
+
+
+def _solve(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io import g2o
+    from .models import pose_sync
+    from .solvers import tnt
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+    t0 = time.perf_counter()
+    graph = g2o.load_g2o(args.graph)
+    t_load = time.perf_counter() - t0
+
+    tol = args.gradient_tolerance
+    if tol is None:
+        tol = 2e-3 if args.dtype == "f32" else 1e-8
+    params = tnt.TNTParams(
+        max_iterations=args.max_iterations, gradient_tolerance=tol,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+        preconditioned_gradient_tolerance=0.0)
+
+    t0 = time.perf_counter()
+    info = {}
+    if args.robust:
+        src = jnp.asarray(graph.src)
+        dst = jnp.asarray(graph.dst)
+        Mij = jnp.asarray(graph.Rij, dtype)
+        tij = jnp.asarray(graph.tij, dtype)
+        kappa = (jnp.asarray(graph.kappa, dtype)
+                 if graph.kappa is not None else None)
+        rob = pose_sync.solve_robust_se(src, dst, Mij, tij,
+                                        graph.n_vertices, kappa=kappa,
+                                        params=params)
+        R, t = rob.R, rob.t
+        res_status = int(rob.result.status)
+        res_iters = int(rob.result.num_iterations)
+        n_amb = int(jnp.sum(~rob.identifiable))
+        info.update(
+            robust=True,
+            all_identifiable=bool(rob.all_identifiable),
+            n_ambiguous_vertices=n_amb,
+            rejected_edges_rot=int(jnp.sum(
+                rob.w_rot < 0.02 * jnp.median(rob.w_rot))),
+            rejected_edges_tr=int(jnp.sum(
+                rob.w_tr < 0.02 * jnp.median(rob.w_tr))))
+        cert = None
+    else:
+        res = pose_sync.solve_pose_graph(
+            graph, dtype=dtype, params=params, certify=args.certify,
+            marginalized=args.marginalized)
+        R, t = res.R, res.t
+        res_status = int(res.rotation_result.status)
+        res_iters = int(res.rotation_result.num_iterations)
+        info["translation_residual"] = float(res.translation_residual)
+        cert = res.certificate
+    import jax
+    jax.block_until_ready(t)
+    wall = time.perf_counter() - t0
+
+    from .core.types import TNTStatus
+    summary = dict(
+        graph=args.graph, n_vertices=graph.n_vertices,
+        n_edges=len(graph.src), dim=graph.dim,
+        loader="native" if g2o.native_available() else "python",
+        load_s=round(t_load, 3), solve_s=round(wall, 3),
+        status=TNTStatus(res_status).name, tnt_iterations=res_iters,
+        **info)
+    if cert is not None:
+        summary.update(
+            certified=bool(cert.certified),
+            certificate_lam_min=float(cert.lam_min),
+            certificate_stationarity=float(cert.stationarity))
+
+    if args.out:
+        if args.out.endswith(".npz"):
+            np.savez(args.out, R=np.asarray(R), t=np.asarray(t))
+        else:
+            g2o.save_g2o(args.out, graph,
+                         poses=(np.asarray(R), np.asarray(t)))
+        summary["out"] = args.out
+
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for k, v in summary.items():
+            print(f"{k}: {v}")
+    ok = summary["status"] in ("GRADIENT", "PRECONDITIONED_GRADIENT",
+                               "RELATIVE_DECREASE", "STEPSIZE",
+                               "USER_FUNCTION")
+    if args.certify and not args.robust:
+        ok = ok and summary.get("certified", False)
+    return 0 if ok else 2
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "solve":
+        return _solve(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

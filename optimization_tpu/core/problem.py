@@ -58,6 +58,25 @@ class RiemannianProblem:
     # TNT then runs its trust-region subproblem at one fused memory pass +
     # one reduction sync per CG iteration.
     flat_qm: Optional[Callable[..., Any]] = None
+    # Optional fused trial-step evaluator for TNT's outer iteration:
+    # ``step_eval(x, h, data) -> (x_prop, f_prop, grad_prop, gradnorm_prop)``
+    # computes the retraction, trial objective, and trial Riemannian
+    # gradient in as few memory passes / reduction syncs as the problem's
+    # structure allows (the reference evaluates these separately,
+    # ``TNT.h:505-508,560-562``; at n=2^24 the separate passes cost ~3 ms
+    # per outer iteration — the dominant non-CG cost once the flat engine
+    # runs the subproblem at ~0.36 ms/iteration).  Must be algebraically
+    # identical to retract + value + rgrad, and valid at h = 0 (TNT calls
+    # it once at the initial iterate to seed the aux carry).
+    #
+    # It may return a FIFTH element — an auxiliary PyTree of quantities
+    # computed about the trial point (e.g. the sphere Rayleigh quotient)
+    # — which TNT carries alongside the iterate and passes to
+    # ``flat_qm(x, data, aux)``, so the next quadratic model reuses the
+    # trial evaluation's reductions instead of re-deriving them (the
+    # x-dependent caching idea of the reference QuadraticModel seam,
+    # ``TNT.h:374-380``, extended across the accept boundary).
+    step_eval: Optional[Callable[..., Any]] = None
 
     def value(self, x, data=None):
         return self.f(x, data)

@@ -95,7 +95,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["FlatCGResult", "stpcg_flat", "sphere_rayleigh_flat"]
+__all__ = ["FlatCGResult", "stpcg_flat", "sphere_rayleigh_flat",
+           "sphere_rayleigh_step"]
 
 # A step-t (t>=1) scalar assembly is trusted only if the surviving value
 # exceeds this fraction of the absolute mass of its terms; below it the
@@ -859,6 +860,50 @@ def _stpcg_flat_sstep(
     return FlatCGResult(s=st.s, update_step_M_norm=update_step_M_norm,
                         num_iterations=st.k,
                         predicted_decrease=-st.mval)
+
+
+def sphere_rayleigh_step(A_elem):
+    """Fused TNT trial-step evaluator for f(x) = <x, A x> on S^{n-1}
+    (the ``RiemannianProblem.step_eval`` seam; A applied elementwise by
+    ``A_elem``, f32+ accumulation).
+
+    Everything the outer iteration needs derives from the *unnormalized*
+    trial point u = x + h in ONE fused pass with one reduction group
+    (three dots): with n2 = <u,u>, fu = <u, Au>, na2 = |Au|^2 and
+    c = 1/sqrt(n2),
+
+        x_prop = c u,                      f_prop = fu / n2,
+        rq'    = 2 f_prop,                 grad   = 2c Au - rq' c u,
+        |grad|^2 = 4 na2 / n2 - rq'^2,
+
+    algebraically identical to retract -> f -> proj(2 A x_prop) (the
+    projection identity: <x_p, 2A x_p> = rq').  This replaces the ~3 ms of
+    separate retraction/objective/gradient passes per outer iteration at
+    n=2^24 with a single ~4n-word pass + one sync (measured: the dominant
+    non-CG cost of the headline TNT, VERDICT round-2 item 7).
+
+    Returns ``step_eval(x, h, data) -> (x_prop, f_prop, grad, gradnorm,
+    rq')`` — the 5th element is the trial Rayleigh quotient, which TNT
+    threads back into ``flat_qm(x, data, rq)`` so the next quadratic
+    model's A0/U/B need no fresh reduction before the CG init group
+    (``sphere_rayleigh_flat(x, A_elem, rq=rq)``).
+    """
+    def step_eval(x, h, data):
+        sdt = _acc_dt(x)
+        u = x.astype(sdt) + h.astype(sdt)
+        au = A_elem(u).astype(sdt)
+        n2 = jnp.sum(u * u)
+        fu = jnp.sum(u * au)
+        na2 = jnp.sum(au * au)
+        c = 1.0 / jnp.sqrt(n2)
+        f_prop = fu / n2
+        rqp = 2.0 * f_prop
+        x_prop = (c * u).astype(x.dtype)
+        g = ((2.0 * c) * au - (rqp * c) * u).astype(x.dtype)
+        gn = jnp.sqrt(jnp.maximum(4.0 * na2 / n2 - rqp * rqp, 0.0))
+        return x_prop, f_prop, g, gn, rqp
+
+    return step_eval
 
 
 def sphere_rayleigh_flat(x, A_elem, rq=None):

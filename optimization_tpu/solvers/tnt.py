@@ -144,6 +144,9 @@ class _State(NamedTuple):
     update_step_M_norms: jnp.ndarray
     gain_ratios: jnp.ndarray
     iterates: Optional[Any]
+    # Auxiliary PyTree from problem.step_eval's optional 5th output,
+    # threaded into flat_qm(x, data, aux); None when unused.
+    aux: Optional[Any]
 
 
 def solve(
@@ -193,6 +196,17 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
     g0, gn0, pgn0 = grad_and_norms(x0)
     sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
+    # Seed the step_eval aux carry (h = 0: the trial point IS x0), and
+    # learn statically whether the evaluator supplies one.
+    use_step_eval = (problem.step_eval is not None
+                     and problem.precon is None)
+    aux0 = None
+    if use_step_eval:
+        out0 = problem.step_eval(
+            x0, jax.tree_util.tree_map(jnp.zeros_like, x0), data)
+        if len(out0) >= 5:
+            aux0 = out0[4]
+
     nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
     nan_step = jnp.full((n_step,), jnp.nan, dtype)
     iterates0 = (jax.tree_util.tree_map(
@@ -213,6 +227,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         update_step_M_norms=nan_step,
         gain_ratios=nan_step,
         iterates=iterates0,
+        aux=aux0,
     )
 
     def record(st: _State) -> _State:
@@ -243,7 +258,10 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         if problem.flat_qm is not None and problem.precon is None:
             from ..linalg.flat_cg import stpcg_flat
 
-            A0, Uf, Bf = problem.flat_qm(x, data)
+            if st.aux is not None:
+                A0, Uf, Bf = problem.flat_qm(x, data, st.aux)
+            else:
+                A0, Uf, Bf = problem.flat_qm(x, data)
             cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
                             max_iterations=params.max_TPCG_iterations,
                             kappa_fgr=params.kappa_fgr, theta=params.theta,
@@ -268,8 +286,19 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         # STEP 3: trial point and gain ratio (reference TNT.h:505-532).
         # The flat engine tracks the model decrease by scalar recurrence
         # (algebraically the reference's dm, without the extra Hv product).
-        x_prop = M.retract(x, h)
-        fx_prop = jnp.asarray(problem.value(x_prop, data))
+        # With a problem-supplied fused step evaluator, the retraction,
+        # trial objective, and trial gradient come from one fused pass
+        # (core/problem.py step_eval) instead of three separate ones.
+        if use_step_eval:
+            out = problem.step_eval(x, h, data)
+            x_prop, fx_prop, g_acc, gn_acc = out[:4]
+            aux_prop = out[4] if st.aux is not None else None
+            fx_prop = jnp.asarray(fx_prop)
+            pgn_acc = gn_acc
+        else:
+            aux_prop = None
+            x_prop = M.retract(x, h)
+            fx_prop = jnp.asarray(problem.value(x_prop, data))
         dm = (flat_dm if flat_dm is not None
               else -inner(grad, h) - 0.5 * inner(h, Hv(h)))
         df = fx - fx_prop
@@ -293,8 +322,11 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         apply = accepted & ~user_stop
         x_new = tree_where(apply, x_prop, x)
         f_new = jnp.where(apply, fx_prop, fx)
-        g_acc, gn_acc, pgn_acc = grad_and_norms(x_prop)
+        if not use_step_eval:
+            g_acc, gn_acc, pgn_acc = grad_and_norms(x_prop)
         g_new = tree_where(apply, g_acc, grad)
+        aux_new = (tree_where(apply, aux_prop, st.aux)
+                   if aux_prop is not None else st.aux)
         gn_new = jnp.where(apply, gn_acc, st.gradnorm)
         pgn_new = jnp.where(apply, pgn_acc, st.pgradnorm)
 
@@ -324,6 +356,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
 
         return st._replace(
             x=x_new, f=f_new, grad=g_new, gradnorm=gn_new, pgradnorm=pgn_new,
+            aux=aux_new,
             Delta=Delta_new, status=status,
             inner_iterations=st.inner_iterations.at[ridx].set(
                 cg.num_iterations.astype(jnp.int32)),

@@ -1,0 +1,51 @@
+"""CLI: python -m optimization_tpu solve <graph.g2o> end to end."""
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from optimization_tpu import cli
+from optimization_tpu.io import g2o
+
+from test_pose_sync import _make_pose_graph
+
+
+def _write_graph(tmp_path, seed=2):
+    graph, R_true, t_true = _make_pose_graph(seed, noise_rot=0.01,
+                                             noise_t=0.01)
+    path = str(tmp_path / "g.g2o")
+    g2o.save_g2o(path, graph)
+    return path, R_true, t_true
+
+
+def test_solve_certify_json_npz(tmp_path, capsys):
+    path, R_true, t_true = _write_graph(tmp_path)
+    out = str(tmp_path / "sol.npz")
+    rc = cli.main(["solve", path, "--certify", "--dtype", "f64",
+                   "--json", "--out", out])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["status"] == "GRADIENT"
+    assert summary["certified"] is True
+    assert summary["n_vertices"] == 20
+
+    sol = np.load(out)
+    from optimization_tpu.models import pose_sync
+    er, et = pose_sync.alignment_errors(
+        jnp.asarray(sol["R"]), jnp.asarray(sol["t"]),
+        jnp.asarray(R_true), jnp.asarray(t_true))
+    assert float(er) < 0.05 and float(et) < 0.2
+
+
+def test_solve_writes_g2o_vertices(tmp_path, capsys):
+    path, _, _ = _write_graph(tmp_path, seed=3)
+    out = str(tmp_path / "sol.g2o")
+    rc = cli.main(["solve", path, "--marginalized", "--dtype", "f64",
+                   "--out", out])
+    assert rc == 0
+    text = open(out).read()
+    assert text.count("VERTEX_SE3:QUAT") == 20
+    assert "EDGE_SE3:QUAT" in text
+    prose = capsys.readouterr().out
+    assert "status: GRADIENT" in prose

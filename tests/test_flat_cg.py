@@ -214,3 +214,71 @@ def test_predicted_decrease_matches_explicit_dm():
     dm_explicit = float(-DOT(gneg, s) - 0.5 * DOT(s, A0n(s)))
     np.testing.assert_allclose(float(res.predicted_decrease), dm_explicit,
                                rtol=1e-7)
+
+
+def test_step_eval_matches_separate_evaluation():
+    """The fused sphere Rayleigh step evaluator (problem.step_eval) is
+    algebraically identical to retract -> f -> rgrad, and TNT with it
+    reproduces the plain flat-path solve."""
+    from optimization_tpu import RiemannianProblem
+    from optimization_tpu.linalg.flat_cg import (sphere_rayleigh_flat,
+                                                 sphere_rayleigh_step)
+    from optimization_tpu.manifolds import sphere
+    from optimization_tpu.solvers import tnt
+
+    n = 1024
+    d = jnp.linspace(1.0, 300.0, n)
+    A_elem = lambda v: d * v
+    M = sphere()
+    se = sphere_rayleigh_step(A_elem)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=n))
+    x = x / jnp.linalg.norm(x)
+    h = M.proj(x, jnp.asarray(rng.normal(size=n)) * 0.1)
+
+    x_prop, f_prop, g, gn, rqp = se(x, h, None)
+    x_ref = M.retract(x, h)
+    np.testing.assert_allclose(np.asarray(x_prop), np.asarray(x_ref),
+                               atol=1e-12)
+    np.testing.assert_allclose(float(f_prop), float(jnp.dot(x_ref,
+                                                            A_elem(x_ref))),
+                               rtol=1e-12)
+    g_ref = M.proj(x_ref, 2.0 * A_elem(x_ref))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-10)
+    np.testing.assert_allclose(float(gn), float(jnp.linalg.norm(g_ref)),
+                               rtol=1e-10)
+    np.testing.assert_allclose(float(rqp),
+                               float(jnp.dot(x_ref, 2.0 * A_elem(x_ref))),
+                               rtol=1e-12)
+
+    # full-solve parity through TNT
+    def f(x, dd):
+        return jnp.dot(x, A_elem(x))
+
+    def grad(x, dd):
+        return M.proj(x, 2.0 * A_elem(x))
+
+    def flat_qm(x, dd):
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+        return A0, U, B
+
+    def flat_qm_aux(x, dd, rq=None):
+        # the step_eval aux carry supplies the Rayleigh quotient
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
+        return A0, U, B
+
+    params = tnt.TNTParams(
+        max_iterations=100, max_TPCG_iterations=60,
+        gradient_tolerance=1e-6, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+    x0 = M.rand(jax.random.PRNGKey(7), n).astype(jnp.float64)
+    plain = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm)
+    fused = RiemannianProblem(f=f, manifold=M, grad=grad,
+                              flat_qm=flat_qm_aux, step_eval=se)
+    r0 = tnt.solve(plain, x0, params, data=None)
+    r1 = tnt.solve(fused, x0, params, data=None)
+    assert int(r0.status) == int(r1.status)
+    assert abs(int(r0.num_iterations) - int(r1.num_iterations)) <= 1
+    np.testing.assert_allclose(float(r1.f), float(r0.f), rtol=1e-10)
+    assert float(r1.gradfx_norm) < 1e-6
