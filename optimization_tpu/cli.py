@@ -39,6 +39,10 @@ def _build_parser():
     s.add_argument("--certify", action="store_true",
                    help="check the SE-Sync dual certificate of global "
                         "optimality (LOBPCG on S = Q - Lambda)")
+    s.add_argument("--staircase", action="store_true",
+                   help="Riemannian staircase rotation stage: escape "
+                        "non-global critical points through rank-lifted "
+                        "relaxations until the certificate passes")
     s.add_argument("--robust", action="store_true",
                    help="Geman-McClure GNC over both measurement channels "
                         "(outlier-robust; reports per-vertex "
@@ -108,7 +112,7 @@ def _solve(args) -> int:
     else:
         res = pose_sync.solve_pose_graph(
             graph, dtype=dtype, params=params, certify=args.certify,
-            marginalized=args.marginalized)
+            marginalized=args.marginalized, staircase=args.staircase)
         R, t = res.R, res.t
         res_status = int(res.rotation_result.status)
         res_iters = int(res.rotation_result.num_iterations)

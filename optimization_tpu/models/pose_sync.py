@@ -580,7 +580,7 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                      certify: bool = False,
                      marginalized: bool = False,
                      tau=None, inner_engine="cg",
-                     inner_s_steps=2) -> PoseSyncResult:
+                     inner_s_steps=2, staircase: bool = False) -> PoseSyncResult:
     """Full SE(d) pose synchronization of an ``io.g2o.PoseGraph``.
 
     With ``certify=True`` the rotation estimate is checked for *global*
@@ -591,7 +591,15 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
     objective with translations marginalized out (:func:`marginalized_
     problem`) instead of the rotation-only chordal cost — the translation
     measurements then inform the rotations.  ``tau`` supplies per-edge
-    translational weights (defaults to 1)."""
+    translational weights (defaults to 1).
+
+    With ``staircase=True`` the rotation stage runs the **Riemannian
+    staircase** (``rotation_sync.solve_staircase``): if the chordal solve
+    lands on a non-global critical point (dual certificate fails), the
+    problem is lifted through rank-p relaxations, escaped along the
+    certificate eigenvector, and rounded back — returning a certifiably
+    global rotation estimate where the plain solve would silently return
+    the stuck one.  Mutually exclusive with ``marginalized``."""
     src = jnp.asarray(graph.src)
     dst = jnp.asarray(graph.dst)
     Mij = jnp.asarray(graph.Rij, dtype)
@@ -619,6 +627,17 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
         R = jnp.swapaxes(rres.x, -1, -2)
         cert_op = Q_op
         cert_x = rres.x
+    elif staircase:
+        # Certifiably-global rotation stage: the Riemannian staircase on
+        # the transposed chordal model (rotation_sync.solve_staircase);
+        # the returned certificate is re-derived below at the final point.
+        sdata = _transposed_rotation_data(src, dst, Mij, kappa)
+        out = rs.solve_staircase(sdata, graph.n_vertices, Mij.shape[-1],
+                                 params=params, key=key)
+        R = jnp.swapaxes(out.R, -1, -2)
+        rres = out.result
+        cert_op = None
+        cert_x = out.R
     else:
         R, rres = solve_rotations_g2o(src, dst, Mij, graph.n_vertices,
                                       kappa=kappa, params=params, key=key)

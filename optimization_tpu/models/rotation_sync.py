@@ -23,11 +23,12 @@ import jax
 import jax.numpy as jnp
 
 from ..core.problem import RiemannianProblem
-from ..manifolds.stiefel import ROTATIONS
+from ..manifolds.stiefel import ROTATIONS, STIEFEL
 
 __all__ = ["RotationSyncData", "CertificateResult", "certify",
            "make_problem", "random_instance", "random_fleet",
-           "solve_robust", "RobustResult", "mean_rotation_error"]
+           "solve_robust", "RobustResult", "solve_staircase",
+           "StaircaseResult", "round_lifted", "mean_rotation_error"]
 
 
 class RotationSyncData(NamedTuple):
@@ -310,6 +311,10 @@ class CertificateResult(NamedTuple):
     eta: jnp.ndarray              # the tolerance actually used
     stationarity: jnp.ndarray     # |S X|_F / |X|_F (0 at critical points)
     num_iterations: jnp.ndarray   # LOBPCG iterations
+    # Eigenvector of lam_min, shape (n d,): when the certificate FAILS this
+    # is the second-order descent direction the Riemannian staircase
+    # (solve_staircase) escapes along at the next rank.
+    eigvec: Optional[jnp.ndarray] = None
 
 
 def certify(R: jnp.ndarray, data: RotationSyncData, *,
@@ -341,17 +346,23 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
     the full marginalized SE-Sync operator (``pose_sync.marginalized_
     problem``'s ``Q_op``) to certify the single-stage pose objective; the
     certificate structure S = Q - BlockDiag(sym((QX)_i X_i')) is identical.
+
+    ``R`` may carry a trailing rank-p axis, shape (n, d, p >= d) with
+    row-orthonormal (d, p) blocks — the Riemannian-staircase lift
+    (:func:`solve_staircase`): the same S = L - BlockDiag(sym((LX)_i X_i'))
+    certifies the rank-p critical point of the relaxation.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
-    n, d = R.shape[0], R.shape[-1]
+    n, d = R.shape[0], R.shape[1]
     L = (operator if operator is not None
          else connection_laplacian_op(data, n, d))
-    X = R.reshape(n * d, d)
+    X = R.reshape(n * d, R.shape[-1])
 
+    p = X.shape[-1]
     LX = L(X)
-    LXb = LX.reshape(n, d, d)
-    Rb = X.reshape(n, d, d)
+    LXb = LX.reshape(n, d, p)
+    Rb = X.reshape(n, d, p)
     Lam = jnp.einsum("nij,nkj->nik", LXb, Rb,
                      precision=jax.lax.Precision.HIGHEST)
     Lam = 0.5 * (Lam + jnp.swapaxes(Lam, -1, -2))
@@ -383,7 +394,159 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
     return CertificateResult(
         certified=lam_min >= -eta_val,
         lam_min=lam_min, eta=eta_val, stationarity=stationarity,
-        num_iterations=res.num_iterations)
+        num_iterations=res.num_iterations, eigvec=res.X[:, 0])
+
+
+class StaircaseResult(NamedTuple):
+    R: jnp.ndarray            # (n, d, d) rounded + polished SO(d) estimate
+    certified: jnp.ndarray    # certificate of the RETURNED R
+    cert: Any                 # CertificateResult at R
+    p_final: int              # relaxation rank the staircase stopped at
+    rank_gap: float           # sigma_{d+1}/sigma_1 of the final lifted X
+    result: Any               # TNTResult of the last solve
+    # per-level history: (p, f, lam_min, sdp_certified)
+    levels: tuple
+
+
+def _lifted_problem(n: int, d: int) -> RiemannianProblem:
+    """The rank-p SE-Sync relaxation  min tr(X' L X)  over block-row-
+    orthonormal X (Boumal's Riemannian staircase / SE-Sync's rank-p stage;
+    the reference TNT is the solver SE-Sync runs at each rank —
+    ``Riemannian/TNT.h:242-254``).
+
+    Variables are stored as Y of shape (n, p, d) — a product of Stiefel
+    St(p, d) factors (orthonormal *columns*), so the existing STIEFEL
+    bundle applies; the cost contracts the connection Laplacian against
+    X = stacked Y_i' blocks.  Gradients and Hessian-vector products come
+    from autodiff (the Laplacian application is MXU-shaped (nd, p) work).
+    """
+    def f(Y, data):
+        p = Y.shape[-2]
+        L = connection_laplacian_op(data, n, d)
+        X = jnp.swapaxes(Y, -1, -2).reshape(n * d, p)
+        return jnp.sum(X * L(X))
+
+    return RiemannianProblem(f=f, manifold=STIEFEL)
+
+
+def round_lifted(Y: jnp.ndarray):
+    """Round a rank-p staircase iterate to SO(d)^n (SE-Sync rounding).
+
+    X = stacked Y_i' blocks is (numerically) rank d at a certified
+    optimum; take its top-d SVD factor, fix the global orientation by the
+    majority determinant sign, and project each block to SO(d).
+    Returns ``(R, rank_gap)`` with rank_gap = sigma_{d+1}/sigma_1 (0 when
+    the relaxation solution is exactly rank d)."""
+    n, p, d = Y.shape
+    X = jnp.swapaxes(Y, -1, -2).reshape(n * d, p)
+    U, s, _ = jnp.linalg.svd(X, full_matrices=False)
+    Xd = (U[:, :d] * s[None, :d]).reshape(n, d, d)
+    rank_gap = (s[d] / s[0]) if p > d else jnp.zeros((), Y.dtype)
+    # global orientation: majority det sign, then per-block SO(d) projection
+    R = _orthonormalize(Xd)
+    det = jnp.linalg.det(R)
+    flip = jnp.where(jnp.sum(jnp.sign(det)) < 0, -1.0, 1.0)
+    R = R.at[..., :, 0].multiply(flip)
+    det = jnp.linalg.det(R)
+    R = jnp.where(det[:, None, None] < 0,
+                  R.at[..., :, 0].multiply(-1.0), R)
+    return R, rank_gap
+
+
+def solve_staircase(data: RotationSyncData, n: int, d: int = 3, *,
+                    p_max: Optional[int] = None, params=None, R0=None,
+                    key=None, cert_nx: int = 8, cert_tau: float = 1e-3,
+                    cert_max_iterations: int = 200,
+                    escape_ts=None) -> "StaircaseResult":
+    """Certifiably-global rotation synchronization via the **Riemannian
+    staircase** (the SE-Sync algorithm the reference solver suite powers):
+
+    1. solve the chordal problem on SO(d)^n (spectral init + TNT) and
+       check the dual certificate;
+    2. while the certificate fails and p < p_max: lift the solution to
+       the rank-p relaxation (pad a zero row onto each Stiefel factor),
+       escape the now-certified-saddle along the certificate's negative
+       eigenvector (the direction D with blocks e_p v_i' is tangent and
+       second-order descent: <D, Hess f[D]> = 2 lam_min < 0), re-solve
+       with TNT on the St(p, d)^n product, and re-certify at rank p;
+    3. round the lifted solution back to SO(d)^n (:func:`round_lifted`),
+       polish with a short SO(d) TNT, and certify the returned estimate.
+
+    At a certified rank the relaxation is tight for the SDP; a zero
+    ``rank_gap`` additionally witnesses that the rounding is exact, and
+    the returned ``certified`` flag is the certificate evaluated at the
+    final polished R (the strongest user-facing statement).
+
+    The loop over ranks runs on the host (each level is one compiled
+    solve); d <= p <= p_max = d + 3 by default — SE-Sync practice is that
+    one or two lifts suffice away from adversarial noise regimes.
+    """
+    from ..solvers import tnt as _tnt
+
+    dtype = data.Rij.dtype
+    if p_max is None:
+        p_max = d + 3
+    if params is None:
+        f32 = dtype == jnp.float32
+        params = _tnt.TNTParams(
+            max_iterations=100,
+            gradient_tolerance=(2e-3 if f32 else 1e-8),
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+    if escape_ts is None:
+        escape_ts = jnp.logspace(-4.0, 1.0, 11)
+
+    if R0 is None:
+        R0 = spectral_init(data, n, d, key=key).astype(dtype)
+    res = _tnt.solve(make_problem(), R0, params, data=data)
+    R = res.x
+    cert = certify(R, data, nx=cert_nx, tau=cert_tau,
+                   max_iterations=cert_max_iterations, key=key)
+    levels = [(d, float(res.f), float(cert.lam_min),
+               bool(cert.certified))]
+    rank_gap = 0.0
+
+    Y = jnp.swapaxes(R, -1, -2)                 # (n, d, d), Y_i = R_i'
+    lifted = _lifted_problem(n, d)
+    p = d
+    while not bool(cert.certified) and p < p_max:
+        p += 1
+        # lift: pad a zero row; the lifted point is the same critical
+        # point, now a strict saddle of the rank-p relaxation
+        Y = jnp.concatenate([Y, jnp.zeros((n, 1, d), Y.dtype)], axis=1)
+        v = cert.eigvec.reshape(n, d).astype(Y.dtype)
+        Ydot = jnp.zeros_like(Y).at[:, -1, :].set(v)
+
+        def f_at(t, Y=Y, Ydot=Ydot):
+            Yt = STIEFEL.retract(Y, t * Ydot)
+            return lifted.value(Yt, data)
+
+        fs = jax.vmap(f_at)(escape_ts.astype(Y.dtype))
+        t_best = escape_ts[int(jnp.argmin(fs))]
+        Y = STIEFEL.retract(Y, t_best * Ydot)
+
+        res = _tnt.solve(lifted, Y, params, data=data)
+        Y = res.x
+        cert = certify(jnp.swapaxes(Y, -1, -2), data, nx=cert_nx,
+                       tau=cert_tau, max_iterations=cert_max_iterations,
+                       key=key)
+        levels.append((p, float(res.f), float(cert.lam_min),
+                       bool(cert.certified)))
+
+    if p > d:
+        R, rank_gap = round_lifted(Y)
+        rank_gap = float(rank_gap)
+        # polish the rounded point on SO(d)^n, then certify what we return
+        res = _tnt.solve(make_problem(), R.astype(dtype), params, data=data)
+        R = res.x
+        cert_R = certify(R, data, nx=cert_nx, tau=cert_tau,
+                         max_iterations=cert_max_iterations, key=key)
+    else:
+        cert_R = cert
+
+    return StaircaseResult(R=R, certified=cert_R.certified, cert=cert_R,
+                           p_final=p, rank_gap=rank_gap, result=res,
+                           levels=tuple(levels))
 
 
 def mean_rotation_error(R: jnp.ndarray, R_true: jnp.ndarray) -> jnp.ndarray:

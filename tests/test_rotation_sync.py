@@ -258,6 +258,73 @@ def test_robust_gnc_rejects_outliers():
     assert np.median(w[~inlier_mask]) < 0.1 * np.median(w[inlier_mask])
 
 
+def _ring_instance(seed, n=12, d=3, noise=0.3):
+    """Weakly-connected ring at moderate noise: from a random init the
+    chordal TNT frequently converges to a non-global critical point (the
+    dual certificate fails with a clearly negative eigenvalue) — the
+    regime the Riemannian staircase exists for."""
+    key = jax.random.PRNGKey(seed)
+    R_true, _ = rs.random_instance(key, n, d, extra_edges=0, noise=0.0,
+                                   dtype=jnp.float64)
+    src = jnp.concatenate([jnp.arange(n - 1, dtype=jnp.int32),
+                           jnp.array([n - 1], jnp.int32)])
+    dst = jnp.concatenate([jnp.arange(1, n, dtype=jnp.int32),
+                           jnp.array([0], jnp.int32)])
+    k2 = jax.random.PRNGKey(100 + seed)
+    Rij = R_true[src] @ jnp.swapaxes(R_true[dst], -1, -2)
+    w = noise * jax.random.normal(k2, (n, d, d), jnp.float64)
+    skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+    pert = rs._orthonormalize(jnp.eye(d) + skew + 0.5 * (skew @ skew))
+    return rs.RotationSyncData(src=src, dst=dst, Rij=pert @ Rij)
+
+
+@pytest.mark.slow
+def test_staircase_escapes_stuck_critical_point():
+    """The Riemannian staircase lifts a certified-suboptimal critical
+    point through higher-rank relaxations, escapes along the certificate
+    eigenvector, and returns a certified global optimum rounded back to
+    SO(d)^n (the SE-Sync algorithm; solver = the reference TNT at every
+    rank)."""
+    n, d = 12, 3
+    params = tnt.TNTParams(
+        max_iterations=200, gradient_tolerance=1e-10,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+        preconditioned_gradient_tolerance=0.0)
+    data = _ring_instance(0)
+    R0 = rs.ROTATIONS.rand(jax.random.PRNGKey(1000), n, d, d)
+
+    # the plain solve from this init is genuinely stuck
+    plain = tnt.solve(rs.make_problem(), R0, params, data=data)
+    cert0 = rs.certify(plain.x, data, tau=1e-6)
+    assert not bool(cert0.certified)
+    assert float(cert0.lam_min) < -1e-2
+
+    out = rs.solve_staircase(data, n, d, params=params, R0=R0,
+                             cert_tau=1e-6)
+    assert bool(out.certified)
+    assert out.p_final > d                       # it had to climb
+    assert out.levels[0][3] is False             # level d not certified
+    assert out.levels[-1][3] is True             # final level certified
+    assert out.rank_gap < 1e-6                   # rounding was exact
+    # strictly better objective than the stuck point, on SO(d)^n
+    assert float(out.result.f) < 0.2 * float(plain.f)
+    eye = jnp.swapaxes(out.R, -1, -2) @ out.R
+    np.testing.assert_allclose(np.asarray(eye),
+                               np.tile(np.eye(d), (n, 1, 1)), atol=1e-9)
+    assert (np.asarray(jnp.linalg.det(out.R)) > 0).all()
+
+
+def test_staircase_certified_instance_stops_at_level_d():
+    """On an easy instance from spectral init the staircase certifies at
+    p = d and never lifts."""
+    R_true, data = _instance(9)
+    out = rs.solve_staircase(data, N, D, params=PARAMS)
+    assert bool(out.certified)
+    assert out.p_final == D
+    assert len(out.levels) == 1
+    assert float(rs.mean_rotation_error(out.R, R_true)) < 0.1
+
+
 @pytest.mark.slow
 def test_gnc_identifiability_flags_local_outlier_majority():
     """A vertex whose incident edges are majority-corrupted (mutually
