@@ -33,6 +33,7 @@ iteration.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
@@ -48,7 +49,10 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray,
+                  eigh_fn: Optional[Callable[[jnp.ndarray], Tuple[
+                      jnp.ndarray, jnp.ndarray]]] = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Robust Rayleigh-Ritz for the dense symmetric pencil (A, B), B PSD.
 
     Returns ``(Theta, C)`` with ``C' A C = diag(Theta)`` and ``C' B C = I``
@@ -63,7 +67,16 @@ def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
     their Ritz values are a large sentinel, so they sort last and are never
     selected).  In f64 on a well-conditioned pencil this is algebraically the
     reference computation.
+
+    ``eigh_fn`` overrides the dense symmetric eigensolver (default
+    ``jnp.linalg.eigh`` — QDWH on TPU).  Pass
+    :func:`optimization_tpu.linalg.jacobi.jacobi_eigh` when this RR runs
+    vmapped over a fleet: batched small QDWH eighs cost ~8-10x a single one
+    on this runtime, while the parallel-Jacobi solver batches for free
+    (measured, benchmarks/config10).
     """
+    if eigh_fn is None:
+        eigh_fn = jnp.linalg.eigh
     # The matmul-precision scope also covers the QDWH/Jacobi matmuls inside
     # XLA's eigh lowering — at the TPU default (bf16 MXU inputs) the Ritz
     # rotations come back too inaccurate to converge (verified on hardware).
@@ -76,7 +89,7 @@ def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
         B_eq = B * d[:, None] * d[None, :]
         B_eq = 0.5 * (B_eq + B_eq.T)
 
-        w, Q = jnp.linalg.eigh(B_eq)
+        w, Q = eigh_fn(B_eq)
         good = w > (n * eps) * jnp.max(w)
         inv_sqrt_w = jnp.where(good,
                                1.0 / jnp.sqrt(jnp.where(good, w, 1.0)), 0.0)
@@ -93,9 +106,124 @@ def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndar
         # eigenvalues below f32 resolution (verified on hardware).
         big = jnp.max(jnp.sum(jnp.abs(At), axis=1)) + 1.0
         At = At + jnp.diag(jnp.where(good, 0.0, big).astype(B.dtype))
-        theta, U = jnp.linalg.eigh(At)
+        theta, U = eigh_fn(At)
         C = _mm(W_half, U)
         return theta, C * d[:, None]
+
+
+def _rayleigh_ritz_chol(A: jnp.ndarray, B: jnp.ndarray,
+                        eigh_fn=jnp.linalg.eigh
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Rayleigh-Ritz via shifted Cholesky whitening: the fleet fast path.
+
+    The robust :func:`rayleigh_ritz` pays TWO dense eigendecompositions per
+    call; under ``jax.vmap`` (``lobpcg_fleet``) batched small QDWH eighs cost
+    ~8-10x a single one on this runtime and dominate the lockstep iteration
+    (measured, benchmarks/probe_jacobi.py).  This variant whitens through a
+    *shifted* Cholesky factorization instead — one batched ``cholesky`` plus
+    two triangular solves replace the whitening eigh, halving the eigh count.
+
+    This is close to the reference's own route (``LOBPCG.h:53-62`` LDLT on
+    the equilibrated pencil), whose f32 failure mode — a near-collinear
+    basis makes one-pass Cholesky whitening amplify null-direction noise
+    into spurious small Ritz values (observed on the *first* LOBPCG
+    iterations of an easy diagonal problem) — is repaired WITHOUT a second
+    eigh:
+
+    - a norm-relative shift ``delta = 16 n eps`` keeps the factorization of
+      the unit-diagonal ``B_eq`` well-posed;
+    - **two whitening passes** (the CholeskyQR2 idea, in pencil space): the
+      second factorization acts on the first pass's near-identity whitened
+      Gram, collapsing the kappa*eps orthonormality error of one-pass
+      whitening (which otherwise floors LOBPCG residuals at
+      ~kappa * eps * ||A|| and stalls convergence — observed) down to
+      O(eps).  Valid while kappa(B_eq + delta I) <= 1/eps, guaranteed here
+      by the shift;
+    - each Ritz column's TRUE B-mass ``b_i = C_i' B_eq C_i`` is then
+      computed directly (two small GEMMs): a (near-)null direction of
+      ``B_eq`` — whose whitened mass was supplied by the shift — has
+      ``b_i ~ 0`` while genuine directions have ``b_i ~ 1``.  Columns with
+      ``b_i < 0.5`` get the eigh path's deflation treatment (zeroed,
+      Gershgorin-sentinel Ritz value, sorted last); kept columns are
+      rescaled by ``1/sqrt(b_i)`` (exact B-normalization) and their Ritz
+      values refreshed as unshifted Rayleigh quotients
+      ``C_i' A_eq C_i`` — removing the shift's O(delta/lambda) bias.
+
+    Directions with B-eigenvalue *comparable* to the shift sit in a
+    borderline band (deflate vs keep) — the same continuum the eigh path's
+    ``n eps`` cutoff has; as with that path it is treated as approximation,
+    not anomaly (a wrongly kept direction cannot be silently selected: the
+    residual-based convergence test rejects it).  The returned ``ok`` flag
+    therefore reports only genuine breakdown (non-finite Ritz values, e.g.
+    a Cholesky NaN on an indefinite repaired pencil); callers fold it into
+    ``pencil_consistent``.
+
+    Returns ``(theta, C, ok)`` with eigenvalues ascending (deflated columns
+    last), ``C' B C ~ I`` on the kept subspace.
+    """
+    with jax.default_matmul_precision("float32"):
+        n = B.shape[0]
+        eps = jnp.finfo(B.dtype).eps
+        eye = jnp.eye(n, dtype=B.dtype)
+        bdiag = jnp.diagonal(B)
+        d = 1.0 / jnp.sqrt(jnp.maximum(bdiag, eps * jnp.max(bdiag)))
+        A_eq = A * d[:, None] * d[None, :]
+        B_eq = 0.5 * (B + B.T) * d[:, None] * d[None, :]
+
+        tri_inv = partial(jax.scipy.linalg.solve_triangular, lower=True)
+        # Sharp shift first, safe shift as fallback.  The shift must
+        # dominate B_eq's roundoff indefiniteness or the factorization
+        # NaNs; that indefiniteness scales with ||B_eq|| <= n (unit
+        # diagonal) and can reach ~ -n^2 eps on genuinely near-collinear
+        # pencils (observed), but is ~n eps-scale on typical ones.  A
+        # large one-size shift costs real convergence: the deflation
+        # boundary (b-mass test below) sits at lambda ~ delta, and late
+        # LOBPCG residual directions shrink THROUGH a 4 n^2 eps cutoff
+        # before tight tolerances are reached (observed stall at
+        # tau=1e-5).  So: factor with 16 n eps, and only where that NaNs
+        # redo with 8 n^2 eps — two batched Cholesky calls are still far
+        # cheaper than the eigh this path replaces.
+        d_lo = 16.0 * n * eps
+        d_hi = 8.0 * n * n * eps
+        L1a = jnp.linalg.cholesky(B_eq + d_lo * eye)
+        sharp_ok = jnp.all(jnp.isfinite(L1a))
+        delta = jnp.where(sharp_ok, d_lo, d_hi)
+        L1 = jnp.where(sharp_ok, L1a,
+                       jnp.linalg.cholesky(B_eq + d_hi * eye))
+        L1i = tri_inv(L1, eye)
+        A1 = _mm(_mm(L1i, A_eq), L1i.T)
+        B1 = _mm(_mm(L1i, B_eq), L1i.T)        # ~ I up to kappa*eps + shift
+        # Pass-2 shift: a *negative* Gram eigenvalue lambda ~ -rho
+        # (roundoff indefiniteness) maps to lambda/(lambda+delta) in B1 —
+        # down to ~ -1/15 when delta is ~16x the indefiniteness scale
+        # (observed -0.031 on a rank-1 f64 Gram) — plus B1's own
+        # ~n*eps*||L1i||^2 computation error.  1/8 dominates both with
+        # margin, and a LARGE pass-2 shift is harmless: genuine directions
+        # have B1-eigenvalue in [0.5, 1] far above it, and the exact
+        # B-mass rescale + unshifted Rayleigh refresh below remove its
+        # bias entirely.
+        L2 = jnp.linalg.cholesky(0.5 * (B1 + B1.T) + 0.125 * eye)
+        L2i = tri_inv(L2, eye)
+        At = _mm(_mm(L2i, A1), L2i.T)
+        At = 0.5 * (At + At.T)
+        theta0, U = eigh_fn(At)
+        C = _mm(_mm(L2i, L1i).T, U)
+
+        # True (unshifted) per-column B-mass: deflation detect + polish.
+        BC = _mm(B_eq, C)
+        b = jnp.sum(C * BC, axis=0)
+        finite = (jnp.all(jnp.isfinite(C), axis=0) & jnp.isfinite(b)
+                  & jnp.isfinite(theta0))
+        spurious = (b < 0.5) | ~finite
+        C = jnp.where(spurious[None, :], 0.0,
+                      C / jnp.sqrt(jnp.maximum(b, delta))[None, :])
+        # Unshifted Rayleigh refresh (B-normalized columns => denominator 1).
+        theta = jnp.sum(C * _mm(A_eq, C), axis=0)
+        big = jnp.max(jnp.sum(jnp.abs(At), axis=1)) + 1.0
+        theta = jnp.where(spurious, big, theta)
+        ok = jnp.all(jnp.isfinite(theta0))
+        order = jnp.argsort(theta)
+        return theta[order], C[:, order] * d[:, None], ok
 
 
 class LOBPCGResult(NamedTuple):
@@ -151,6 +279,9 @@ def lobpcg(
     key: Optional[jax.Array] = None,
     user_function: Optional[Callable[..., jnp.ndarray]] = None,
     warm_start: Optional[tuple] = None,
+    eigh_fn: Optional[Callable[[jnp.ndarray], Tuple[jnp.ndarray,
+                                                    jnp.ndarray]]] = None,
+    rr_method: str = "eigh",
 ) -> LOBPCGResult:
     """Smallest ``nev`` eigenpairs of ``A x = lambda B x``.
 
@@ -167,7 +298,16 @@ def lobpcg(
       the same operators/shapes: resumes the three-block iteration exactly
       (the host-chunked driver seam; ``max_iterations`` then counts
       *additional* iterations).
+    - ``eigh_fn``: dense symmetric eigensolver for the (3nx)^2 Rayleigh-Ritz
+      pencils (default ``jnp.linalg.eigh``); see :func:`rayleigh_ritz`.
+    - ``rr_method``: ``"eigh"`` (default; deflating eigh whitening, robust to
+      near-collinear bases) or ``"chol"`` (shifted-Cholesky whitening — one
+      eigh per iteration instead of two; ill-conditioning is *reported* via
+      ``pencil_consistent`` instead of deflated.  The fleet fast path —
+      see :func:`_rayleigh_ritz_chol`).
     """
+    if rr_method not in ("eigh", "chol"):
+        raise ValueError('rr_method must be "eigh" or "chol"')
     if key is None:
         key = jax.random.PRNGKey(0)
     if X0 is None:
@@ -186,6 +326,16 @@ def lobpcg(
     dtype = X0.dtype
     Bop = B if B is not None else (lambda S: S)
     Top = T if T is not None else (lambda S: S)
+
+    if rr_method == "chol":
+        base_eigh = eigh_fn if eigh_fn is not None else jnp.linalg.eigh
+
+        def _rr(Am, Bm):
+            return _rayleigh_ritz_chol(Am, Bm, eigh_fn=base_eigh)
+    else:
+        def _rr(Am, Bm):
+            th, Cm = rayleigh_ritz(Am, Bm, eigh_fn=eigh_fn)
+            return th, Cm, jnp.asarray(True)
 
     # Randomized 2-norm estimates (reference LOBPCG.h:199-214)
     omega = jax.random.normal(key, (m, nx), dtype)
@@ -215,7 +365,7 @@ def lobpcg(
         # --- initialization: B-orthonormalize X0 (reference LOBPCG.h:218-230)
         AX = A(X0)
         BX = Bop(X0)
-        theta0, C0 = rayleigh_ritz(_mm(X0.T, AX), _mm(X0.T, BX))
+        theta0, C0, ok0 = _rr(_mm(X0.T, AX), _mm(X0.T, BX))
         X = _mm(X0, C0)
         AX = _mm(AX, C0)
         BX = _mm(BX, C0)
@@ -229,7 +379,7 @@ def lobpcg(
             nc=jnp.zeros((), jnp.int32),
             r=jnp.linalg.norm(R[:, :nev], axis=0),
             done=jnp.asarray(False),
-            ok=jnp.asarray(True),
+            ok=ok0,
             residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
             nc_trace=jnp.full((n_trace,), -1, jnp.int32),
         )
@@ -273,7 +423,7 @@ def lobpcg(
                 + jnp.diag(pos_sent * off))
         StBS = StBS * mask_s[:, None] * mask_s[None, :] + jnp.diag(off)
 
-        theta_all, C = rayleigh_ritz(StAS, StBS)
+        theta_all, C, rr_ok = _rr(StAS, StBS)
 
         # Classify fake pairs by their (repaired-)B energy on the masked
         # coordinates: exactly 1 for fakes, 0 for active pairs (and 0 for
@@ -293,7 +443,7 @@ def lobpcg(
         C_x = C[:, order] * mask_s[:, None]
 
         n_fake = (3 * nx - jnp.sum(mask_s)).astype(jnp.int32)
-        ok = st.ok & (jnp.sum(is_fake).astype(jnp.int32) == n_fake)
+        ok = st.ok & rr_ok & (jnp.sum(is_fake).astype(jnp.int32) == n_fake)
 
         X_new = _mm(S, C_x)
         AX_new = _mm(AS, C_x)
@@ -315,6 +465,20 @@ def lobpcg(
         if user_function is not None:
             done = done | jnp.asarray(
                 user_function(k, nev, theta, X_new, r, nc))
+
+        # RR breakdown (rr_ok False — possible only on the "chol" fast
+        # path, e.g. both shift attempts NaN on a pathological pencil):
+        # FREEZE at the last good state and stop, instead of letting NaN
+        # poison the iterate.  The run exits flagged (pencil_consistent
+        # False) with its pre-breakdown eigenpairs intact.
+        def frz(new, old):
+            return jnp.where(rr_ok, new, old)
+
+        X_new, AX_new, BX_new = (frz(X_new, st.X), frz(AX_new, st.AX),
+                                 frz(BX_new, st.BX))
+        R_new, P_new = frz(R_new, st.R), frz(P_new, st.P)
+        theta, nc, r = frz(theta, st.theta), frz(nc, st.nc), frz(r, st.r)
+        done = done | ~rr_ok
 
         slot = k - 1 - k0
         return _State(k=k, X=X_new, AX=AX_new, BX=BX_new, R=R_new, P=P_new,
@@ -356,6 +520,9 @@ def lobpcg_fleet(
     max_iterations: int = 100,
     tau: float = 1e-6,
     key: Optional[jax.Array] = None,
+    eigh_fn: Optional[Callable[[jnp.ndarray], Tuple[jnp.ndarray,
+                                                    jnp.ndarray]]] = None,
+    rr_method: str = "chol",
 ) -> LOBPCGResult:
     """Fleet-batched LOBPCG: one fused three-block iteration across many
     same-shaped pencils.
@@ -397,7 +564,8 @@ def lobpcg_fleet(
             B=(lambda S: B(S, data_i)) if B is not None else None,
             T=(lambda S: T(S, data_i)) if T is not None else None,
             X0=X0_i, m=m, nx=nx, nev=nev,
-            max_iterations=max_iterations, tau=tau, key=key_i)
+            max_iterations=max_iterations, tau=tau, key=key_i,
+            eigh_fn=eigh_fn, rr_method=rr_method)
 
     if X0 is None:
         return jax.vmap(lambda d, k: one(d, k, None))(data, keys)

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optimization_tpu.linalg.lobpcg import lobpcg, rayleigh_ritz
+from optimization_tpu.linalg.lobpcg import lobpcg, lobpcg_fleet, rayleigh_ritz
 
 N = 1000
 NX = 10
@@ -273,3 +273,73 @@ def test_lobpcg_fleet_api():
         th_ref = np.sort(np.asarray(ds[b]))[:nev]
         np.testing.assert_allclose(np.asarray(res.theta[b]), th_ref,
                                    atol=1e-6)
+
+
+class TestCholRR:
+    """Round-3 fleet fast path: Rayleigh-Ritz via two-pass shifted Cholesky
+    whitening (one eigh per iteration instead of two; _rayleigh_ritz_chol).
+    Reference seam: LOBPCG.h:53-62 (the reference's own LDLT route)."""
+
+    def test_rr_parity_with_eigh_path(self):
+        from optimization_tpu.linalg.lobpcg import (_rayleigh_ritz_chol,
+                                                    rayleigh_ritz)
+        rng = np.random.default_rng(11)
+        C = rng.standard_normal((24, 24))
+        B = C @ C.T + 24 * np.eye(24)
+        A = rng.standard_normal((24, 24))
+        A = A + A.T
+        td, _ = rayleigh_ritz(jnp.asarray(A), jnp.asarray(B))
+        tc, Cc, ok = _rayleigh_ritz_chol(jnp.asarray(A), jnp.asarray(B))
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(tc), np.asarray(td),
+                                   rtol=1e-10)
+        # exact B-normalization (the post-hoc rescale): C' B C = I
+        G = np.asarray(Cc).T @ B @ np.asarray(Cc)
+        np.testing.assert_allclose(G, np.eye(24), atol=1e-10)
+
+    def test_chol_path_converges_tight_f64(self):
+        d = jnp.linspace(1.0, 800.0, 1500)
+        res = lobpcg(lambda S: d[:, None] * S, T=lambda S: S / d[:, None],
+                     m=1500, nx=12, nev=4, max_iterations=100, tau=1e-9,
+                     rr_method="chol")
+        assert int(res.num_converged) >= 4
+        assert bool(res.pencil_consistent)
+        np.testing.assert_allclose(np.asarray(res.theta),
+                                   np.asarray(d[:4]), rtol=1e-9)
+
+    def test_near_collinear_basis_no_spurious_pairs(self):
+        """The one-pass-Cholesky failure mode: a near-collinear basis must
+        not produce spurious small Ritz values (the two-pass + b-mass
+        deflation repair).  X0 columns nearly parallel forces it."""
+        d = jnp.linspace(1.0, 100.0, 400)
+        base = jnp.ones((400,)) / 20.0
+        X0 = (base[:, None]
+              + 1e-9 * jax.random.normal(jax.random.PRNGKey(0), (400, 6)))
+        res = lobpcg(lambda S: d[:, None] * S, X0=X0, nev=2,
+                     max_iterations=150, tau=1e-6, rr_method="chol")
+        theta = np.asarray(res.theta)
+        # smallest true eigenvalue is 1.0; nothing below it may appear
+        assert np.all(theta >= 0.9)
+
+    def test_f32_breakdown_freezes_not_poisons(self):
+        """In f32 at tolerances beyond the chol path's envelope the RR can
+        break down (both shift attempts NaN).  The iteration must freeze at
+        the last good state — finite eigenpairs, pencil_consistent False —
+        never return NaN."""
+        d0 = jnp.linspace(1.0, 1000.0, 2000, dtype=jnp.float32)
+        ds = jnp.arange(1.0, 5.0, dtype=jnp.float32)[:, None] * d0[None, :]
+        res = lobpcg_fleet(
+            lambda S, dd: dd[:, None] * S, ds,
+            T=lambda S, dd: S / dd[:, None],
+            m=2000, nx=16, nev=5, max_iterations=120, tau=jnp.float32(1e-7),
+            key=jax.random.PRNGKey(5))
+        theta = np.asarray(res.theta)
+        assert np.all(np.isfinite(theta))
+        # every instance's reported pairs are genuine (near a true
+        # eigenvalue) even where the run is flagged
+        for b in range(4):
+            scale = float(b + 1)
+            rel = np.abs(theta[b] / scale
+                         - np.asarray(d0[:5], np.float64)) / np.asarray(
+                             d0[:5], np.float64)
+            assert np.max(rel) < 1e-3
