@@ -29,17 +29,19 @@ import jax
 import jax.numpy as jnp
 
 from .base import Manifold
-from .stiefel import _mm, _polar_retract, _rand_stiefel
+from .stiefel import _acc, _mm, _polar_retract, _rand_stiefel
 
 __all__ = ["GRASSMANN", "grassmann"]
 
 
 def _proj(x, v):
-    return v - _mm(x, _mm(jnp.swapaxes(x, -1, -2), v))
+    # bf16 tier: products accumulate f32 (stiefel._acc inside _mm), the
+    # result returns in the storage dtype.
+    return (_acc(v) - _mm(x, _mm(jnp.swapaxes(x, -1, -2), v))).astype(v.dtype)
 
 
 def _inner(x, u, v):
-    return jnp.sum(u * v)
+    return jnp.sum(_acc(u) * _acc(v))
 
 
 GRASSMANN = Manifold(

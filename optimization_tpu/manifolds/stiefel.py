@@ -34,19 +34,28 @@ def _sym(a):
     return 0.5 * (a + jnp.swapaxes(a, -1, -2))
 
 
+def _acc(u):
+    """Accumulation view (same contract as ``sphere._acc``): sub-f32 storage
+    (bf16/f16) is promoted to f32 for every product/reduction — the
+    bf16-storage / f32-accumulate tier.  No-op for f32/f64; XLA fuses the
+    convert into the consuming op, so it adds no memory traffic."""
+    return u.astype(jnp.promote_types(u.dtype, jnp.float32))
+
+
 def _mm(a, b):
     # p x p / n x p products at full precision: the TPU MXU's default bf16
     # inputs lose the orthogonality digits trust-region logic relies on.
-    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    # Sub-f32 *storage* is promoted to f32 first (bf16 tier; see _acc).
+    return jnp.matmul(_acc(a), _acc(b), precision=jax.lax.Precision.HIGHEST)
 
 
 def _proj(x, v):
     xtv = _mm(jnp.swapaxes(x, -1, -2), v)
-    return v - _mm(x, _sym(xtv))
+    return (_acc(v) - _mm(x, _sym(xtv))).astype(v.dtype)
 
 
 def _inner(x, u, v):
-    return jnp.sum(u * v)
+    return jnp.sum(_acc(u) * _acc(v))
 
 
 def _polar_retract(x, v):
@@ -58,8 +67,14 @@ def _polar_retract(x, v):
     exact polar factor keeps the iterate orthonormal for ANY ambient V —
     making trust-region loops self-correcting instead of silently leaving
     the manifold (where the pulled-back objective is meaningless).
+
+    bf16 tier: the whole computation runs in f32 (``_acc`` promotion) and
+    only the final factor is cast back to the storage dtype, so the stored
+    iterate's orthonormality error is ONE bf16 rounding (~eps_bf16 per
+    entry, re-corrected by the next retraction), not an accumulated drift
+    (tests/test_manifolds.py::TestBf16Tier).
     """
-    y = x + v
+    y = _acc(x) + _acc(v)
     g = _mm(jnp.swapaxes(y, -1, -2), y)
     g = 0.5 * (g + jnp.swapaxes(g, -1, -2))
     # inverse matrix square root of the small p x p SPD Gram via eigh
@@ -67,7 +82,7 @@ def _polar_retract(x, v):
     w = jnp.maximum(w, jnp.finfo(g.dtype).tiny)
     inv_sqrt = _mm(q * (1.0 / jnp.sqrt(w))[..., None, :],
                    jnp.swapaxes(q, -1, -2))
-    return _mm(y, inv_sqrt)
+    return _mm(y, inv_sqrt).astype(x.dtype)
 
 
 def _egrad_to_rgrad(x, g):

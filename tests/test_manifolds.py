@@ -98,3 +98,69 @@ def test_product_manifold_tnt():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(res.x[1]), np.asarray(c),
                                atol=1e-8)
+
+
+class TestBf16Tier:
+    """Round-3 dtype audit (ROADMAP numerics debt): the matrix manifolds'
+    geometry under bf16 storage / f32 accumulation.  Contract (same as
+    ``sphere._acc``): every product/reduction promotes to f32; results
+    return in the storage dtype; the stored iterate's manifold error is ONE
+    bf16 rounding, never accumulated drift (the exact-Gram polar retraction
+    re-corrects it each step)."""
+
+    MS = [(stiefel(), (12, 3)), (rotations(), (4, 3, 3)),
+          (grassmann(), (12, 3))]
+
+    @pytest.mark.parametrize("M,shape", MS)
+    def test_retraction_bf16_one_rounding_from_manifold(self, M, shape):
+        k1, k2 = jax.random.split(KEY)
+        x = M.rand(k1, *shape).astype(jnp.bfloat16)
+        v = (0.3 * jax.random.normal(k2, x.shape)).astype(jnp.bfloat16)
+        y = M.retract(x, v)
+        assert y.dtype == jnp.bfloat16
+        yf = y.astype(jnp.float64)
+        p = shape[-1]
+        gram = np.asarray(jnp.swapaxes(yf, -1, -2) @ yf)
+        # one bf16 rounding of an orthonormal factor: |X'X - I| entries are
+        # O(n * eps_bf16 * |X|) ~ a few 1e-2 at these sizes
+        np.testing.assert_allclose(
+            gram, np.broadcast_to(np.eye(p), gram.shape), atol=0.08)
+
+    @pytest.mark.parametrize("M,shape", MS)
+    def test_proj_bf16_storage_dtype_and_idempotent(self, M, shape):
+        k1, k2 = jax.random.split(KEY)
+        x = M.rand(k1, *shape).astype(jnp.bfloat16)
+        a = jax.random.normal(k2, x.shape).astype(jnp.bfloat16)
+        v = M.proj(x, a)
+        assert v.dtype == jnp.bfloat16
+        v2 = M.proj(x, v)
+        np.testing.assert_allclose(np.asarray(v2, np.float64),
+                                   np.asarray(v, np.float64), atol=0.05)
+
+    def test_tnt_grassmann_bf16_storage(self):
+        """End-to-end: the Brockett eigenspace solve with bf16 iterate
+        storage converges to the bf16-resolvable floor with an (almost)
+        orthonormal stored basis — the matrix-manifold analog of the
+        sphere tier test (tests/test_tnt.py::test_bf16_storage...)."""
+        n, p = 40, 3
+        d = jnp.linspace(1.0, 40.0, n).astype(jnp.float32)
+
+        def f(X, data):
+            Xf = X.astype(jnp.float32)
+            return jnp.sum(Xf * (data[:, None] * Xf))
+
+        problem = RiemannianProblem(f=f, manifold=grassmann())
+        params = tnt.TNTParams(
+            max_iterations=100,
+            gradient_tolerance=0.15,   # bf16 floor: eps_bf16 * |2A| ~ 0.6
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+        X0 = grassmann().rand(jax.random.PRNGKey(3), n, p)
+        X0 = X0.astype(jnp.bfloat16)
+        res = tnt.solve(problem, X0, params, data=d)
+        assert res.x.dtype == jnp.bfloat16
+        # f* = 1+2+3 = 6 at the bf16 floor (storage quantization of X
+        # perturbs tr(X'AX) by O(eps_bf16 * |A|) ~ 0.3)
+        assert abs(float(res.f) - float(jnp.sum(d[:p]))) < 0.5
+        Xf = np.asarray(res.x, np.float64)
+        np.testing.assert_allclose(Xf.T @ Xf, np.eye(p), atol=0.08)
