@@ -271,3 +271,32 @@ def test_consensus_scenario_count_guard():
     # No data leaves at all: explicit count required.
     with pytest.raises(ValueError, match="n_scenarios"):
         inferred.minLx(z, lam, 1.0, None)
+
+
+def test_dp_sharded_lobpcg_fleet_matches_single_device():
+    """DP x fleet: the vmapped LOBPCG fleet sharded over the 8-device batch
+    mesh must reproduce the single-device fleet exactly (no cross-instance
+    communication exists, so GSPMD partitions the whole lockstep iteration
+    per-shard).  This is the scaling story for certification / spectral-init
+    sweeps: fleets batch on-chip (config10) AND shard across chips."""
+    from optimization_tpu.linalg.lobpcg import lobpcg_fleet
+
+    mesh = batch_mesh(8)
+    fleet, m, nx, nev = 8, 600, 8, 3
+    ds = (jnp.arange(1.0, fleet + 1.0)[:, None]
+          * jnp.linspace(1.0, 60.0, m)[None, :])
+
+    def run(data):
+        return lobpcg_fleet(lambda S, d: d[:, None] * S, data,
+                            T=lambda S, d: S / d[:, None],
+                            m=m, nx=nx, nev=nev, max_iterations=60,
+                            tau=1e-8, key=jax.random.PRNGKey(3))
+
+    ref = jax.jit(run)(ds)
+    ds_sh = shard_batch(ds, mesh)
+    res = jax.jit(run)(ds_sh)
+    assert bool(jnp.all(res.num_converged >= nev))
+    np.testing.assert_allclose(np.asarray(res.theta), np.asarray(ref.theta),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(res.X), np.asarray(ref.X),
+                               rtol=0, atol=0)
