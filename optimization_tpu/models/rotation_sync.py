@@ -208,7 +208,7 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int):
 
 def spectral_init(data: RotationSyncData, n: int, d: int = 3,
                   key=None, max_iterations: int = 200,
-                  tau: float = 1e-3) -> jnp.ndarray:
+                  tau: float = 1e-3, rr_method: str = "eigh") -> jnp.ndarray:
     """SE-Sync-style chordal initialization: the d algebraically-smallest
     eigenvectors of the connection Laplacian (via our LOBPCG), reshaped to
     (n, d, d) blocks and projected onto SO(d)."""
@@ -218,7 +218,8 @@ def spectral_init(data: RotationSyncData, n: int, d: int = 3,
         key = jax.random.PRNGKey(0)
     L = connection_laplacian_op(data, n, d)
     res = lobpcg(L, m=n * d, nx=min(2 * d + 2, n * d), nev=d,
-                 max_iterations=max_iterations, tau=tau, key=key)
+                 max_iterations=max_iterations, tau=tau, key=key,
+                 rr_method=rr_method)
     blocks = res.X.reshape(n, d, d)
     R = _orthonormalize(blocks)
     # Land in SO(d): negating column 0 of a block is a right-multiplication by
@@ -320,7 +321,8 @@ class CertificateResult(NamedTuple):
 def certify(R: jnp.ndarray, data: RotationSyncData, *,
             eta: Optional[float] = None, nx: int = 8,
             max_iterations: int = 200, tau: float = 1e-3,
-            key=None, operator=None) -> CertificateResult:
+            key=None, operator=None,
+            rr_method: str = "eigh") -> CertificateResult:
     """Global-optimality certificate for a rotation-sync critical point.
 
     The chordal cost satisfies ``f(R) = tr(X' L X)`` with ``X = R.reshape
@@ -346,6 +348,10 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
     the full marginalized SE-Sync operator (``pose_sync.marginalized_
     problem``'s ``Q_op``) to certify the single-stage pose objective; the
     certificate structure S = Q - BlockDiag(sym((QX)_i X_i')) is identical.
+
+    ``rr_method``: forwarded to :func:`~optimization_tpu.linalg.lobpcg.
+    lobpcg` — ``"chol"`` halves the per-iteration eigh count (the
+    certificate tolerance ``tau=1e-3`` is far inside that path's envelope).
 
     ``R`` may carry a trailing rank-p axis, shape (n, d, p >= d) with
     row-orthonormal (d, p) blocks — the Riemannian-staircase lift
@@ -380,7 +386,8 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
     from ..linalg.lobpcg import lobpcg
 
     res = lobpcg(S_op, m=n * d, nx=nx, nev=1,
-                 max_iterations=max_iterations, tau=tau, key=key)
+                 max_iterations=max_iterations, tau=tau, key=key,
+                 rr_method=rr_method)
     lam_min = res.theta[0]
 
     if eta is None:

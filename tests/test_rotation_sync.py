@@ -427,3 +427,16 @@ def test_jacobi_precon_is_spd_scaling():
     np.testing.assert_allclose(np.asarray(rs.ROTATIONS.proj(x, Pu)),
                                np.asarray(Pu), atol=1e-6)
     assert float(jnp.sum(u * Pu)) > 0
+
+
+def test_certify_chol_rr_parity():
+    """rr_method="chol" (one eigh per LOBPCG iteration) certifies the same
+    optimum with a matching lam_min at the certificate tolerance — the
+    cheap-RR path is safe for the certification surface."""
+    R_true, data = _instance(12, noise=0.05)
+    R0 = rs.spectral_init(data, N, D, rr_method="chol")
+    res = tnt.solve(rs.make_problem(), R0, PARAMS, data=data)
+    cert_e = rs.certify(res.x, data)
+    cert_c = rs.certify(res.x, data, rr_method="chol")
+    assert bool(cert_c.certified) == bool(cert_e.certified) == True  # noqa: E712
+    assert abs(float(cert_c.lam_min) - float(cert_e.lam_min)) < 1e-4
