@@ -169,3 +169,28 @@ def test_flat_cg_matches_generic_stpcg(seed, n, rank, delta, indefinite,
     dm = float(-jnp.dot(g, res.s) - 0.5 * jnp.dot(res.s, Hv(res.s)))
     np.testing.assert_allclose(float(res.predicted_decrease), dm,
                                rtol=1e-5, atol=1e-9 * max(abs(dm), 1.0))
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(2, 48),
+       logkappa=st.floats(0.0, 6.0))
+def test_chol_rr_matches_eigh_rr(seed, n, logkappa):
+    """Property: on any well-posed SPD pencil (kappa(B) up to 1e6) the
+    shifted-Cholesky Rayleigh-Ritz reproduces the robust eigh path's Ritz
+    values and B-orthonormality to f64 working accuracy."""
+    from optimization_tpu.linalg.lobpcg import (_rayleigh_ritz_chol,
+                                                rayleigh_ritz)
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.logspace(0.0, logkappa, n)
+    B = (q * lam) @ q.T
+    A = rng.standard_normal((n, n))
+    A = A + A.T
+    td, _ = rayleigh_ritz(jnp.asarray(A), jnp.asarray(B))
+    tc, Cc, ok = _rayleigh_ritz_chol(jnp.asarray(A), jnp.asarray(B))
+    assert bool(ok)
+    scale = np.max(np.abs(np.asarray(td)))
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(td),
+                               atol=1e-8 * max(scale, 1.0), rtol=1e-8)
+    G = np.asarray(Cc).T @ B @ np.asarray(Cc)
+    np.testing.assert_allclose(G, np.eye(n), atol=1e-8)
