@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["drive", "drive_admm", "drive_lobpcg"]
+__all__ = ["drive", "drive_admm", "drive_lobpcg", "drive_lobpcg_fleet"]
 
 
 class _Adapter(NamedTuple):
@@ -537,5 +537,105 @@ def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
             [("max residual", float(np.max(np.asarray(
                 result.residual_norms)))),
              ("theta_0", float(result.theta[0]))],
+            chunk_times[-1], precision)
+    return result, jnp.asarray(times)
+
+
+def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
+                       nev, max_iterations=100, tau=1e-6, key=None,
+                       rr_method="chol",
+                       max_computation_time=float("inf"), verbose=False,
+                       precision=3, chunk_iterations: Optional[int] = None,
+                       observer: Optional[Callable[..., None]] = None,
+                       checkpoint_path: Optional[str] = None):
+    """Host-chunked fleet LOBPCG: :func:`drive_lobpcg`'s host facilities
+    (wall-clock limit, verbose lines, observers, crash checkpoints) for
+    ``linalg.lobpcg.lobpcg_fleet`` — long certification / spectral-init
+    sweeps get the same operational envelope as single solves.  The fleet
+    iterates in lockstep; chunking resumes through the batched
+    ``warm_start`` seam (chunked == monolithic iterates exactly).
+
+    Verbose lines report fleet-wide aggregates (worst residual, least-
+    converged instance); the final summary counts fully-converged
+    instances.  Returns ``(result, times)`` with a leading fleet axis on
+    every result field and the stitched traces of shape
+    ``(fleet, total_iterations)``.
+    """
+    from ..linalg.lobpcg import lobpcg_fleet
+
+    fleet = jax.tree_util.tree_leaves(data)[0].shape[0]
+    if chunk_iterations is None:
+        chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
+    chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
+
+    start = time.monotonic()
+    results, counts, chunk_times = [], [], []
+    ws = None
+    done = 0
+    timed_out = False
+
+    while True:
+        n = min(chunk_iterations, max_iterations - done)
+        if n <= 0:
+            break
+        r = lobpcg_fleet(A, data, B=B, T=T, X0=X0, m=m, nx=nx, nev=nev,
+                         max_iterations=n, tau=tau, key=key,
+                         rr_method=rr_method, warm_start=ws)
+        jax.block_until_ready(r.X)
+        t = time.monotonic() - start
+        # lockstep: every instance reports the same iteration count
+        i = int(jnp.max(r.num_iterations)) - done
+        results.append(r)
+        counts.append(i)
+        chunk_times.append(t)
+        ws = r.warm_start
+
+        if verbose:
+            for j in range(i):
+                # Instances that converged earlier stop recording (their
+                # trace rows are NaN / -1 past their own count): aggregate
+                # over the still-recording instances only.
+                worst = float(jnp.nanmax(r.residual_trace[:, j]))
+                ncj = r.nc_trace[:, j]
+                least = int(jnp.min(jnp.where(ncj < 0, nev, ncj)))
+                print(f"Iter: {done + j:4d}  fleet max|r|: "
+                      f"{worst:.{precision}e}  min nc: {least}  "
+                      f"time: {t:.3f}", flush=True)
+        if observer is not None:
+            observer(done + i, r, t)
+        if checkpoint_path is not None:
+            from .checkpoint import save_pytree
+            save_pytree(checkpoint_path, ws)
+
+        done += i
+        converged = bool(jnp.all(r.num_converged >= nev))
+        if converged or i < n:
+            break
+        if t > max_computation_time:
+            timed_out = True
+            break
+
+    last = results[-1]
+    res_trace = np.full((fleet, max_iterations), np.nan, np.float32)
+    nc_trace = np.full((fleet, max_iterations), -1, np.int32)
+    times = np.full((max_iterations,), np.nan, np.float32)
+    pos = 0
+    for r, i, t in zip(results, counts, chunk_times):
+        res_trace[:, pos:pos + i] = np.asarray(r.residual_trace)[:, :i]
+        nc_trace[:, pos:pos + i] = np.asarray(r.nc_trace)[:, :i]
+        times[pos:pos + i] = t
+        pos += i
+
+    result = last._replace(residual_trace=jnp.asarray(res_trace),
+                           nc_trace=jnp.asarray(nc_trace))
+    if verbose:
+        n_done = int(jnp.sum(result.num_converged >= nev))
+        reason = ("computation-time limit reached" if timed_out else
+                  f"{n_done}/{fleet} instances fully converged"
+                  if n_done == fleet else "iteration limit reached")
+        _print_summary(
+            "LOBPCG fleet", reason,
+            [("worst residual", float(jnp.max(result.residual_norms))),
+             ("min nc", float(jnp.min(result.num_converged)))],
             chunk_times[-1], precision)
     return result, jnp.asarray(times)

@@ -523,6 +523,7 @@ def lobpcg_fleet(
     eigh_fn: Optional[Callable[[jnp.ndarray], Tuple[jnp.ndarray,
                                                     jnp.ndarray]]] = None,
     rr_method: str = "chol",
+    warm_start: Optional[tuple] = None,
 ) -> LOBPCGResult:
     """Fleet-batched LOBPCG: one fused three-block iteration across many
     same-shaped pencils.
@@ -558,15 +559,20 @@ def lobpcg_fleet(
         key = jax.random.PRNGKey(0)
     keys = jax.random.split(key, fleet)
 
-    def one(data_i, key_i, X0_i):
+    def one(data_i, key_i, X0_i, ws_i):
         return lobpcg(
             lambda S: A(S, data_i),
             B=(lambda S: B(S, data_i)) if B is not None else None,
             T=(lambda S: T(S, data_i)) if T is not None else None,
             X0=X0_i, m=m, nx=nx, nev=nev,
             max_iterations=max_iterations, tau=tau, key=key_i,
-            eigh_fn=eigh_fn, rr_method=rr_method)
+            eigh_fn=eigh_fn, rr_method=rr_method, warm_start=ws_i)
 
+    if warm_start is not None:
+        # Resume the whole fleet from a batched result.warm_start (the
+        # host-chunked driver seam: core/driver.drive_lobpcg_fleet).
+        return jax.vmap(lambda d, k, w: one(d, k, None, w))(
+            data, keys, warm_start)
     if X0 is None:
-        return jax.vmap(lambda d, k: one(d, k, None))(data, keys)
-    return jax.vmap(one)(data, keys, X0)
+        return jax.vmap(lambda d, k: one(d, k, None, None))(data, keys)
+    return jax.vmap(lambda d, k, x: one(d, k, x, None))(data, keys, X0)

@@ -343,3 +343,34 @@ class TestCholRR:
                          - np.asarray(d0[:5], np.float64)) / np.asarray(
                              d0[:5], np.float64)
             assert np.max(rel) < 1e-3
+
+
+def test_drive_lobpcg_fleet_chunked_matches_monolithic():
+    """Fleet host driving (round 3): chunked warm-started fleet == one
+    monolithic fleet call, bitwise, and the stitched traces cover all
+    lockstep iterations."""
+    from optimization_tpu.core.driver import drive_lobpcg_fleet
+
+    fleet, m, nev = 4, 500, 3
+    ds = (jnp.arange(1.0, fleet + 1.0)[:, None]
+          * jnp.linspace(1.0, 50.0, m)[None, :])
+    A = lambda S, d: d[:, None] * S
+    T = lambda S, d: S / d[:, None]
+
+    mono = lobpcg_fleet(A, ds, T=T, m=m, nx=8, nev=nev,
+                        max_iterations=40, tau=1e-9,
+                        key=jax.random.PRNGKey(2))
+    chunked, times = drive_lobpcg_fleet(A, ds, T=T, m=m, nx=8, nev=nev,
+                                        max_iterations=40, tau=1e-9,
+                                        key=jax.random.PRNGKey(2),
+                                        chunk_iterations=7)
+    np.testing.assert_array_equal(np.asarray(chunked.X),
+                                  np.asarray(mono.X))
+    np.testing.assert_array_equal(np.asarray(chunked.theta),
+                                  np.asarray(mono.theta))
+    assert bool(jnp.all(chunked.num_converged >= nev))
+    tr = np.asarray(chunked.residual_trace)
+    for b in range(fleet):
+        kb = int(mono.num_iterations[b])
+        assert np.isfinite(tr[b, :kb]).all()
+    assert int(np.asarray(times).shape[0]) == 40
