@@ -39,6 +39,10 @@ def _build_parser():
     s.add_argument("--certify", action="store_true",
                    help="check the SE-Sync dual certificate of global "
                         "optimality (LOBPCG on S = Q - Lambda)")
+    s.add_argument("--cert-fast", action="store_true",
+                   help="cheap certificate configuration: one-eigh "
+                        "shifted-Cholesky Rayleigh-Ritz + block-Jacobi "
+                        "preconditioning of the certificate eigenproblem")
     s.add_argument("--staircase", action="store_true",
                    help="Riemannian staircase rotation stage: escape "
                         "non-global critical points through rank-lifted "
@@ -112,6 +116,7 @@ def _solve(args) -> int:
     else:
         res = pose_sync.solve_pose_graph(
             graph, dtype=dtype, params=params, certify=args.certify,
+            cert_fast=args.cert_fast,
             marginalized=args.marginalized, staircase=args.staircase)
         R, t = res.R, res.t
         res_status = int(res.rotation_result.status)

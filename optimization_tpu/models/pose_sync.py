@@ -578,6 +578,7 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                      params: Optional[tnt.TNTParams] = None,
                      anchor: int = 0, key=None,
                      certify: bool = False,
+                     cert_fast: bool = False,
                      marginalized: bool = False,
                      tau=None, inner_engine="cg",
                      inner_s_steps=2, staircase: bool = False) -> PoseSyncResult:
@@ -585,7 +586,11 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
 
     With ``certify=True`` the rotation estimate is checked for *global*
     optimality via the SE-Sync dual certificate (``rotation_sync.certify``:
-    smallest eigenvalue of S = Q - Lambda via LOBPCG).
+    smallest eigenvalue of S = Q - Lambda via LOBPCG).  ``cert_fast=True``
+    runs that eigenproblem in its cheap configuration — one-eigh
+    shifted-Cholesky Rayleigh-Ritz plus the block-Jacobi certificate
+    preconditioner (the latter applies on the chordal path only; the
+    marginalized operator's diagonal blocks are not closed-form).
 
     With ``marginalized=True`` the rotation stage minimizes the full SE-Sync
     objective with translations marginalized out (:func:`marginalized_
@@ -653,6 +658,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
         # the full marginalized Q when marginalized=True).
         cert = rs.certify(cert_x,
                           _transposed_rotation_data(src, dst, Mij, kappa),
-                          operator=cert_op)
+                          operator=cert_op,
+                          rr_method=("chol" if cert_fast else "eigh"),
+                          precondition=cert_fast)
     return PoseSyncResult(R=R, t=t, rotation_result=rres,
                           translation_residual=tres, certificate=cert)

@@ -49,3 +49,15 @@ def test_solve_writes_g2o_vertices(tmp_path, capsys):
     assert "EDGE_SE3:QUAT" in text
     prose = capsys.readouterr().out
     assert "status: GRADIENT" in prose
+
+
+def test_solve_cert_fast(tmp_path, capsys):
+    """--cert-fast (chol RR + block-Jacobi certificate preconditioner)
+    certifies the same graph."""
+    path, _, _ = _write_graph(tmp_path, seed=3)
+    rc = cli.main(["solve", path, "--certify", "--cert-fast",
+                   "--dtype", "f64", "--json"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip())
+    assert summary["certified"] is True
+    assert abs(summary["certificate_lam_min"]) < 1e-3
