@@ -72,12 +72,17 @@ def main():
                       tau=1e-30, key=jax.random.PRNGKey(3),
                       rr_method="chol")
 
-    jax.block_until_ready(sustained_chol().X)
-    rate_chol = K / timeit(lambda: sustained_chol().X, iters=3)
+    rc = sustained_chol()
+    jax.block_until_ready(rc.X)
+    # The chol path CAN stop early (RR breakdown sets done); divide by the
+    # iterations actually run so a breakdown can't inflate the rate.
+    k_chol = int(rc.num_iterations)
+    rate_chol = k_chol / timeit(lambda: sustained_chol().X, iters=3)
 
     emit("lobpcg_1e5_iters_per_s", rate,
          f"sustained block iters/s over {K} fixed iterations "
-         f"(m={m}, nx={nx}, nev={nev}); chol-RR arm {rate_chol:.0f} it/s; "
+         f"(m={m}, nx={nx}, nev={nev}); chol-RR arm {rate_chol:.0f} it/s "
+         f"({k_chol}/{K} its, consistent={bool(rc.pencil_consistent)}); "
          f"converged solve: {iters} iters, "
          f"max|theta-lambda|={err:.2e} @ dtype floor {floor:.0e}, "
          f"nc={int(res.num_converged)}, "

@@ -21,10 +21,7 @@ from optimization_tpu.linalg.lobpcg import lobpcg_fleet
 from optimization_tpu.linalg.jacobi import jacobi_eigh
 
 
-def _materialize(out):
-    for leaf in jax.tree_util.tree_leaves(out):
-        if hasattr(leaf, "ndim"):
-            np.asarray(leaf.ravel()[:1] if leaf.ndim else leaf)
+from _util import materialize as _materialize
 
 
 def main():

@@ -1,6 +1,10 @@
 """Run every benchmark config; one JSON line each (BASELINE.md configs 1-5).
 
 Usage:  python benchmarks/run_all.py [--quick]
+
+--quick runs the sub-minute configs only (1, 2, 3, 11) — the smoke tier
+for checking a chip/runtime before committing to the full ~15-minute
+sweep (configs 6 and 8 each solve a large pose problem).
 """
 
 import runpy
@@ -22,11 +26,17 @@ CONFIGS = [
     "config8_robust_se",
     "config9_matrix_completion",
     "config10_lobpcg_fleet",
+    "config11_hv_roofline",
 ]
 
+QUICK = ["config1_gd_rosenbrock", "config2_tnt_rayleigh",
+         "config3_lobpcg", "config11_hv_roofline"]
 
-def main():
-    for name in CONFIGS:
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    names = QUICK if "--quick" in argv else CONFIGS
+    for name in names:
         print(f"# {name}", file=sys.stderr, flush=True)
         try:
             runpy.run_module(name, run_name="__main__")

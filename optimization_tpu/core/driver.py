@@ -471,6 +471,8 @@ def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
     """
     from ..linalg.lobpcg import lobpcg
 
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     if chunk_iterations is None:
         chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
     chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
@@ -563,6 +565,8 @@ def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
     """
     from ..linalg.lobpcg import lobpcg_fleet
 
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     fleet = jax.tree_util.tree_leaves(data)[0].shape[0]
     if chunk_iterations is None:
         chunk_iterations = 1 if verbose else max(1, max_iterations // 10)

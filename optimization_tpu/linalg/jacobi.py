@@ -161,8 +161,12 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 12,
       batch dims; all instances iterate in lockstep.
     - ``max_sweeps``: static cap on Jacobi sweeps (one sweep = n-1 parallel
       rotation rounds touching every off-diagonal entry once).
-    - ``tol``: stop once every instance's off-diagonal Frobenius mass is
-      below ``tol * ||A||_F`` (default ``n * eps``).
+    - ``tol``: the Rutishauser threshold-Jacobi pivot cutoff (default
+      ``eps(dtype)``): a pivot ``A[p,q]`` is rotated only while
+      ``|A[p,q]| > tol * sqrt(|A[p,p] A[q,q]|)`` (relative — this is what
+      buys high relative accuracy on graded spectra) and above the
+      absolute floor ``tol * ||A||_F / n``.  Sweeping stops as soon as a
+      full sweep performs no rotation in any instance.
     - Returns ``(w, V)``, eigenvalues ascending (when ``sort``) with
       ``A approx V diag(w) V^T`` and orthonormal V — same contract as
       ``jnp.linalg.eigh``.

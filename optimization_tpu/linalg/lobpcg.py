@@ -385,8 +385,12 @@ def lobpcg(
         )
     else:
         k0, carry = warm_start
+        # done must survive the resume for BOTH stop channels: converged
+        # (nc >= nev) and RR breakdown (ok False — the chol path's frozen
+        # state); dropping the latter would re-run the deterministically
+        # re-breaking iteration every chunk, diverging from monolithic.
         st0 = _State(
-            k=k0, done=carry["nc"] >= nev,
+            k=k0, done=(carry["nc"] >= nev) | ~carry["ok"],
             residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
             nc_trace=jnp.full((n_trace,), -1, jnp.int32),
             **carry)

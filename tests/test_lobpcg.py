@@ -321,18 +321,24 @@ class TestCholRR:
         # smallest true eigenvalue is 1.0; nothing below it may appear
         assert np.all(theta >= 0.9)
 
-    def test_f32_breakdown_freezes_not_poisons(self):
-        """In f32 at tolerances beyond the chol path's envelope the RR can
-        break down (both shift attempts NaN).  The iteration must freeze at
-        the last good state — finite eigenpairs, pencil_consistent False —
-        never return NaN."""
+    def test_f32_beyond_envelope_stays_finite_and_accurate(self):
+        """In f32 at a tolerance beyond the dtype floor (tau=1e-7) the chol
+        fleet never converges its prefix — but every reported pair stays
+        finite and near a true eigenvalue for the whole 120-iteration run
+        (no silent degradation past the floor)."""
         d0 = jnp.linspace(1.0, 1000.0, 2000, dtype=jnp.float32)
         ds = jnp.arange(1.0, 5.0, dtype=jnp.float32)[:, None] * d0[None, :]
+        # Explicit f32 X0: the suite runs x64, so the default Gaussian X0
+        # would silently promote the whole solve to f64 and never reach
+        # the breakdown regime this test exists to pin.
+        X0 = jax.random.normal(jax.random.PRNGKey(1), (4, 2000, 16),
+                               jnp.float32)
         res = lobpcg_fleet(
             lambda S, dd: dd[:, None] * S, ds,
-            T=lambda S, dd: S / dd[:, None],
+            T=lambda S, dd: S / dd[:, None], X0=X0,
             m=2000, nx=16, nev=5, max_iterations=120, tau=jnp.float32(1e-7),
             key=jax.random.PRNGKey(5))
+        assert res.X.dtype == jnp.float32
         theta = np.asarray(res.theta)
         assert np.all(np.isfinite(theta))
         # every instance's reported pairs are genuine (near a true
@@ -343,6 +349,47 @@ class TestCholRR:
                          - np.asarray(d0[:5], np.float64)) / np.asarray(
                              d0[:5], np.float64)
             assert np.max(rel) < 1e-3
+
+    def test_rr_breakdown_freezes_not_poisons(self):
+        """Deterministic pin of the breakdown-freeze contract: an eigh that
+        NaNs on the (3nx)^2 iteration pencils (but not the nx^2 init
+        pencil) breaks the first body iteration; the run must stop
+        immediately, keep the finite post-init Ritz values, and flag
+        pencil_consistent False — never propagate NaN into the iterate."""
+        def breaking_eigh(M):
+            w, V = jnp.linalg.eigh(M)
+            if M.shape[0] == 3 * 8:      # body RR only (init is nx^2)
+                return w * jnp.nan, V * jnp.nan
+            return w, V
+
+        d = jnp.linspace(1.0, 100.0, 300)
+        res = lobpcg(lambda S: d[:, None] * S, m=300, nx=8, nev=3,
+                     max_iterations=50, tau=1e-9, rr_method="chol",
+                     eigh_fn=breaking_eigh)
+        assert int(res.num_iterations) == 1
+        assert not bool(res.pencil_consistent)
+        assert np.all(np.isfinite(np.asarray(res.theta)))
+        assert np.all(np.isfinite(np.asarray(res.X)))
+
+    def test_warm_start_preserves_breakdown_freeze(self):
+        """Resuming a breakdown-frozen run must stay frozen (the done bit
+        reconstructs from ok on resume): chunked == monolithic even after
+        an RR breakdown."""
+        def breaking_eigh(M):
+            w, V = jnp.linalg.eigh(M)
+            if M.shape[0] == 3 * 8:
+                return w * jnp.nan, V * jnp.nan
+            return w, V
+
+        d = jnp.linspace(1.0, 100.0, 300)
+        kw = dict(m=300, nx=8, nev=3, tau=1e-9, rr_method="chol",
+                  eigh_fn=breaking_eigh)
+        r1 = lobpcg(lambda S: d[:, None] * S, max_iterations=5, **kw)
+        r2 = lobpcg(lambda S: d[:, None] * S, max_iterations=5,
+                    warm_start=r1.warm_start, **kw)
+        assert int(r2.num_iterations) == int(r1.num_iterations) == 1
+        assert not bool(r2.pencil_consistent)
+        np.testing.assert_array_equal(np.asarray(r2.X), np.asarray(r1.X))
 
 
 def test_drive_lobpcg_fleet_chunked_matches_monolithic():
