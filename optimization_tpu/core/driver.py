@@ -454,6 +454,75 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
     return result
 
 
+def _drive_lobpcg_loop(run_chunk, *, iters_of, converged, verbose_line,
+                       summarize, fleet, nev, max_iterations,
+                       max_computation_time, verbose, precision,
+                       chunk_iterations, observer, checkpoint_path):
+    """Shared chunk loop / trace stitching for :func:`drive_lobpcg` and
+    :func:`drive_lobpcg_fleet` (they differ only in the solver call, the
+    per-iteration verbose aggregate, the converged test, and whether the
+    traces carry a leading fleet axis)."""
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
+    if chunk_iterations is None:
+        chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
+    chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
+
+    start = time.monotonic()
+    results, counts, chunk_times = [], [], []
+    ws = None
+    done = 0
+    timed_out = False
+
+    while True:
+        n = min(chunk_iterations, max_iterations - done)
+        if n <= 0:
+            break
+        r = run_chunk(n, ws)
+        jax.block_until_ready(r.X)
+        t = time.monotonic() - start
+        i = iters_of(r) - done   # iterations completed this chunk
+        results.append(r)
+        counts.append(i)
+        chunk_times.append(t)
+        ws = r.warm_start
+
+        if verbose:
+            for j in range(i):
+                print(verbose_line(r, j, done + j, t), flush=True)
+        if observer is not None:
+            observer(done + i, r, t)
+        if checkpoint_path is not None:
+            from .checkpoint import save_pytree
+            save_pytree(checkpoint_path, ws)
+
+        done += i
+        if converged(r) or i < n:
+            break
+        if t > max_computation_time:
+            timed_out = True
+            break
+
+    last = results[-1]
+    shape = (max_iterations,) if fleet is None else (fleet, max_iterations)
+    res_trace = np.full(shape, np.nan, np.float32)
+    nc_trace = np.full(shape, -1, np.int32)
+    times = np.full((max_iterations,), np.nan, np.float32)
+    pos = 0
+    for r, i, t in zip(results, counts, chunk_times):
+        res_trace[..., pos:pos + i] = np.asarray(r.residual_trace)[..., :i]
+        nc_trace[..., pos:pos + i] = np.asarray(r.nc_trace)[..., :i]
+        times[pos:pos + i] = t
+        pos += i
+
+    result = last._replace(residual_trace=jnp.asarray(res_trace),
+                           nc_trace=jnp.asarray(nc_trace))
+    if verbose:
+        name, reason, fields = summarize(result, timed_out)
+        _print_summary(name, reason, fields, chunk_times[-1], precision)
+    return result, jnp.asarray(times)
+
+
 def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
                  max_iterations=100, tau=1e-6, key=None,
                  max_computation_time=float("inf"), verbose=False,
@@ -471,76 +540,33 @@ def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
     """
     from ..linalg.lobpcg import lobpcg
 
-    if max_iterations < 1:
-        raise ValueError("max_iterations must be >= 1")
-    if chunk_iterations is None:
-        chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
-    chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
+    def run_chunk(n, ws):
+        return lobpcg(A, B, T, X0=X0, m=m, nx=nx, nev=nev, max_iterations=n,
+                      tau=tau, key=key, warm_start=ws)
 
-    start = time.monotonic()
-    results, counts, chunk_times = [], [], []
-    ws = None
-    done = 0
-    timed_out = False
+    def verbose_line(r, j, k, t):
+        return (f"Iter: {k:4d}  max|r|: "
+                f"{float(r.residual_trace[j]):.{precision}e}  "
+                f"nc: {int(r.nc_trace[j])}  time: {t:.3f}")
 
-    while True:
-        n = min(chunk_iterations, max_iterations - done)
-        if n <= 0:
-            break
-        r = lobpcg(A, B, T, X0=X0, m=m, nx=nx, nev=nev, max_iterations=n,
-                   tau=tau, key=key, warm_start=ws)
-        jax.block_until_ready(r.X)
-        t = time.monotonic() - start
-        i = int(r.num_iterations) - done   # iterations completed this chunk
-        results.append(r)
-        counts.append(i)
-        chunk_times.append(t)
-        ws = r.warm_start
-
-        if verbose:
-            for j in range(i):
-                print(f"Iter: {done + j:4d}  max|r|: "
-                      f"{float(r.residual_trace[j]):.{precision}e}  "
-                      f"nc: {int(r.nc_trace[j])}  time: {t:.3f}", flush=True)
-        if observer is not None:
-            observer(done + i, r, t)
-        if checkpoint_path is not None:
-            from .checkpoint import save_pytree
-            save_pytree(checkpoint_path, ws)
-
-        done += i
-        converged = int(r.num_converged) >= nev
-        if converged or i < n:
-            break
-        if t > max_computation_time:
-            timed_out = True
-            break
-
-    last = results[-1]
-    res_trace = np.full((max_iterations,), np.nan, np.float32)
-    nc_trace = np.full((max_iterations,), -1, np.int32)
-    times = np.full((max_iterations,), np.nan, np.float32)
-    pos = 0
-    for r, i, t in zip(results, counts, chunk_times):
-        res_trace[pos:pos + i] = np.asarray(r.residual_trace)[:i]
-        nc_trace[pos:pos + i] = np.asarray(r.nc_trace)[:i]
-        times[pos:pos + i] = t
-        pos += i
-
-    result = last._replace(residual_trace=jnp.asarray(res_trace),
-                           nc_trace=jnp.asarray(nc_trace))
-    if verbose:
+    def summarize(result, timed_out):
         nc = int(result.num_converged)
         reason = ("computation-time limit reached" if timed_out else
                   f"{nc}/{nev} wanted eigenpairs converged" if nc >= nev
                   else "iteration limit reached")
-        _print_summary(
-            "LOBPCG", reason,
-            [("max residual", float(np.max(np.asarray(
+        return "LOBPCG", reason, [
+            ("max residual", float(np.max(np.asarray(
                 result.residual_norms)))),
-             ("theta_0", float(result.theta[0]))],
-            chunk_times[-1], precision)
-    return result, jnp.asarray(times)
+            ("theta_0", float(result.theta[0]))]
+
+    return _drive_lobpcg_loop(
+        run_chunk, iters_of=lambda r: int(r.num_iterations),
+        converged=lambda r: int(r.num_converged) >= nev,
+        verbose_line=verbose_line, summarize=summarize, fleet=None,
+        nev=nev, max_iterations=max_iterations,
+        max_computation_time=max_computation_time, verbose=verbose,
+        precision=precision, chunk_iterations=chunk_iterations,
+        observer=observer, checkpoint_path=checkpoint_path)
 
 
 def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
@@ -565,81 +591,39 @@ def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
     """
     from ..linalg.lobpcg import lobpcg_fleet
 
-    if max_iterations < 1:
-        raise ValueError("max_iterations must be >= 1")
     fleet = jax.tree_util.tree_leaves(data)[0].shape[0]
-    if chunk_iterations is None:
-        chunk_iterations = 1 if verbose else max(1, max_iterations // 10)
-    chunk_iterations = min(chunk_iterations, max(max_iterations, 1))
 
-    start = time.monotonic()
-    results, counts, chunk_times = [], [], []
-    ws = None
-    done = 0
-    timed_out = False
+    def run_chunk(n, ws):
+        return lobpcg_fleet(A, data, B=B, T=T, X0=X0, m=m, nx=nx, nev=nev,
+                            max_iterations=n, tau=tau, key=key,
+                            rr_method=rr_method, warm_start=ws)
 
-    while True:
-        n = min(chunk_iterations, max_iterations - done)
-        if n <= 0:
-            break
-        r = lobpcg_fleet(A, data, B=B, T=T, X0=X0, m=m, nx=nx, nev=nev,
-                         max_iterations=n, tau=tau, key=key,
-                         rr_method=rr_method, warm_start=ws)
-        jax.block_until_ready(r.X)
-        t = time.monotonic() - start
-        # lockstep: every instance reports the same iteration count
-        i = int(jnp.max(r.num_iterations)) - done
-        results.append(r)
-        counts.append(i)
-        chunk_times.append(t)
-        ws = r.warm_start
+    def verbose_line(r, j, k, t):
+        # Instances that converged earlier stop recording (their trace
+        # rows are NaN / -1 past their own count): aggregate over the
+        # still-recording instances only.
+        worst = float(jnp.nanmax(r.residual_trace[:, j]))
+        ncj = r.nc_trace[:, j]
+        least = int(jnp.min(jnp.where(ncj < 0, nev, ncj)))
+        return (f"Iter: {k:4d}  fleet max|r|: "
+                f"{worst:.{precision}e}  min nc: {least}  time: {t:.3f}")
 
-        if verbose:
-            for j in range(i):
-                # Instances that converged earlier stop recording (their
-                # trace rows are NaN / -1 past their own count): aggregate
-                # over the still-recording instances only.
-                worst = float(jnp.nanmax(r.residual_trace[:, j]))
-                ncj = r.nc_trace[:, j]
-                least = int(jnp.min(jnp.where(ncj < 0, nev, ncj)))
-                print(f"Iter: {done + j:4d}  fleet max|r|: "
-                      f"{worst:.{precision}e}  min nc: {least}  "
-                      f"time: {t:.3f}", flush=True)
-        if observer is not None:
-            observer(done + i, r, t)
-        if checkpoint_path is not None:
-            from .checkpoint import save_pytree
-            save_pytree(checkpoint_path, ws)
-
-        done += i
-        converged = bool(jnp.all(r.num_converged >= nev))
-        if converged or i < n:
-            break
-        if t > max_computation_time:
-            timed_out = True
-            break
-
-    last = results[-1]
-    res_trace = np.full((fleet, max_iterations), np.nan, np.float32)
-    nc_trace = np.full((fleet, max_iterations), -1, np.int32)
-    times = np.full((max_iterations,), np.nan, np.float32)
-    pos = 0
-    for r, i, t in zip(results, counts, chunk_times):
-        res_trace[:, pos:pos + i] = np.asarray(r.residual_trace)[:, :i]
-        nc_trace[:, pos:pos + i] = np.asarray(r.nc_trace)[:, :i]
-        times[pos:pos + i] = t
-        pos += i
-
-    result = last._replace(residual_trace=jnp.asarray(res_trace),
-                           nc_trace=jnp.asarray(nc_trace))
-    if verbose:
+    def summarize(result, timed_out):
         n_done = int(jnp.sum(result.num_converged >= nev))
         reason = ("computation-time limit reached" if timed_out else
                   f"{n_done}/{fleet} instances fully converged"
                   if n_done == fleet else "iteration limit reached")
-        _print_summary(
-            "LOBPCG fleet", reason,
-            [("worst residual", float(jnp.max(result.residual_norms))),
-             ("min nc", float(jnp.min(result.num_converged)))],
-            chunk_times[-1], precision)
-    return result, jnp.asarray(times)
+        return "LOBPCG fleet", reason, [
+            ("worst residual", float(jnp.max(result.residual_norms))),
+            ("min nc", float(jnp.min(result.num_converged)))]
+
+    return _drive_lobpcg_loop(
+        run_chunk,
+        # lockstep: every instance reports the same iteration count
+        iters_of=lambda r: int(jnp.max(r.num_iterations)),
+        converged=lambda r: bool(jnp.all(r.num_converged >= nev)),
+        verbose_line=verbose_line, summarize=summarize, fleet=fleet,
+        nev=nev, max_iterations=max_iterations,
+        max_computation_time=max_computation_time, verbose=verbose,
+        precision=precision, chunk_iterations=chunk_iterations,
+        observer=observer, checkpoint_path=checkpoint_path)
