@@ -133,8 +133,35 @@ def run_tier(n, dtype, grad_tol, max_tpcg=50):
     return (inner / dt if dt > 0 else 0.0), outer, inner, dt, fstar
 
 
+def check_backend_alive(timeout=240):
+    """Fail fast if the TPU runtime hangs at backend initialization.
+
+    An axon tunnel outage makes ``jax.devices()`` block forever (observed
+    2026-08-17: >4 h), which would hang the whole benchmark harness.  Probe
+    backend init in a throwaway subprocess with a timeout; on a hang, emit
+    an honest one-line JSON result (value 0) instead of hanging the caller.
+    """
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, capture_output=True)
+        return
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "tnt_flat_cg_iters_per_s_bf16",
+            "value": 0.0,
+            "unit": (f"UNMEASURED: backend initialization hung >{timeout}s "
+                     f"(TPU tunnel outage) — benchmark skipped, not run; "
+                     f"last verified on hardware: 2817 CG it/s bf16"),
+            "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
+
 def main():
     n = 1 << 24
+    check_backend_alive()
     spec, kind = chip_bandwidth()
 
     # f32 reference tier (the round-1/2 headline configuration)
