@@ -81,8 +81,12 @@ Graph parse(const char* path) {
     ss >> tag;
     if (tag.empty()) continue;  // whitespace-only / CRLF-blank lines
     if (tag == "VERTEX_SE2" || tag == "VERTEX_SE3:QUAT") {
-      int id;
+      int id = -1;
       ss >> id;
+      if (!ss || id < 0) {
+        g.error = "malformed or negative vertex id";
+        return g;
+      }
       if (id > max_vertex) max_vertex = id;
       int d = (tag == "VERTEX_SE2") ? 2 : 3;
       if (g.dim && g.dim != d) { g.error = "mixed SE2/SE3 file"; return g; }
@@ -93,6 +97,11 @@ Graph parse(const char* path) {
       ss >> e.i >> e.j >> dx >> dy >> dth;
       for (double& v : I) ss >> v;
       if (!ss) { g.error = "malformed EDGE_SE2 line"; return g; }
+      if (e.i < 0 || e.j < 0) {
+        // A negative index would silently wrap downstream gathers.
+        g.error = "negative vertex index";
+        return g;
+      }
       rot2_from_theta(dth, e.R);
       e.t[0] = dx; e.t[1] = dy; e.t[2] = 0;
       e.kappa = I[5];  // I33: the rotational block of the SE2 information
@@ -107,6 +116,10 @@ Graph parse(const char* path) {
       ss >> e.i >> e.j >> dx >> dy >> dz >> qx >> qy >> qz >> qw;
       for (double& v : I) ss >> v;
       if (!ss) { g.error = "malformed EDGE_SE3:QUAT line"; return g; }
+      if (e.i < 0 || e.j < 0) {
+        g.error = "negative vertex index";
+        return g;
+      }
       rot3_from_quat(qx, qy, qz, qw, e.R);
       e.t[0] = dx; e.t[1] = dy; e.t[2] = dz;
       // Rotational information: mean diagonal of the rotation block

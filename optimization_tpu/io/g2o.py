@@ -137,13 +137,19 @@ def _load_python(path: str) -> PoseGraph:
                 continue
             tag = parts[0]
             if tag in ("VERTEX_SE2", "VERTEX_SE3:QUAT"):
-                max_vertex = max(max_vertex, int(parts[1]))
+                vid = int(parts[1])
+                if vid < 0:
+                    raise ValueError("malformed or negative vertex id")
+                max_vertex = max(max_vertex, vid)
                 d = 2 if tag == "VERTEX_SE2" else 3
                 if dim and dim != d:
                     raise ValueError("mixed SE2/SE3 file")
                 dim = d
             elif tag == "EDGE_SE2":
                 i, j = int(parts[1]), int(parts[2])
+                if i < 0 or j < 0:
+                    # A negative index would silently wrap downstream gathers.
+                    raise ValueError("negative vertex index")
                 dx, dy, dth = map(float, parts[3:6])
                 info = list(map(float, parts[6:12]))
                 if len(info) != 6:
@@ -159,6 +165,8 @@ def _load_python(path: str) -> PoseGraph:
                 max_vertex = max(max_vertex, i, j)
             elif tag == "EDGE_SE3:QUAT":
                 i, j = int(parts[1]), int(parts[2])
+                if i < 0 or j < 0:
+                    raise ValueError("negative vertex index")
                 vals = list(map(float, parts[3:10]))
                 info = list(map(float, parts[10:31]))
                 if len(info) != 21:

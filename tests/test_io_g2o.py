@@ -222,3 +222,25 @@ def test_save_load_roundtrip_se2(tmp_path):
     np.testing.assert_allclose(loaded.Rij, graph.Rij, atol=1e-10)
     np.testing.assert_allclose(loaded.tij, graph.tij, atol=1e-10)
     np.testing.assert_allclose(loaded.kappa, graph.kappa, rtol=1e-10)
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_negative_vertex_index_rejected(tmp_path, native):
+    """A negative edge index must error loudly in BOTH parsers: int32
+    indices flow straight into downstream gathers, where a -1 silently
+    wraps to the last vertex (reference analog: the library validates its
+    inputs and throws, e.g. ``TNT.h:256-318``)."""
+    if native and not g2o.native_available():
+        pytest.skip("native loader unavailable")
+    p = tmp_path / "bad.g2o"
+    info = " ".join(["1.0"] * 21)
+    p.write_text("VERTEX_SE3:QUAT 0 0 0 0 0 0 0 1\n"
+                 f"EDGE_SE3:QUAT -1 0 0 0 0 0 0 0 1 {info}\n")
+    with pytest.raises(ValueError, match="negative vertex index"):
+        g2o.load_g2o(str(p), native=native)
+
+    p2 = tmp_path / "bad2.g2o"
+    p2.write_text("VERTEX_SE2 -3 0 0 0\n"
+                  "EDGE_SE2 0 1 1.0 0.0 0.1 4.0 0.0 0.0 4.0 0.0 2.5\n")
+    with pytest.raises(ValueError, match="vertex id|invalid literal"):
+        g2o.load_g2o(str(p2), native=native)
