@@ -9,10 +9,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 
+def _backend_alive(timeout: float = 240) -> bool:
+    """Probe backend init in a subprocess: a dead TPU tunnel makes
+    jax.devices() block forever (same guard as bench.py)."""
+    import subprocess
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=timeout, capture_output=True)
+        return True
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def setup(platform: str | None = None, n_cpu_devices: int | None = None,
           x64: bool | None = None):
-    """Pin the backend.  NB: env vars are useless here (a sitecustomize
-    imports jax at interpreter start); only dynamic config works."""
+    """Pin the backend.  NB: JAX env vars are useless here (a sitecustomize
+    imports jax at interpreter start); only dynamic config works.  The
+    OPTTPU_PLATFORM env var (ours, read here before jax initializes a
+    backend) overrides the default platform, e.g. OPTTPU_PLATFORM=cpu.
+    """
+    platform = platform or os.environ.get("OPTTPU_PLATFORM") or None
+    if platform not in ("cpu",) and not _backend_alive():
+        sys.exit("backend initialization hung — TPU tunnel outage?  "
+                 "Re-run later, or run this example on CPU with "
+                 "OPTTPU_PLATFORM=cpu.")
     if platform:
         jax.config.update("jax_platforms", platform)
     if n_cpu_devices:
