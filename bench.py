@@ -105,11 +105,14 @@ def run_tier(n, dtype, grad_tol, max_tpcg=50):
     def grad(x, dd):
         return M.proj(x, (2.0 * A_elem(x)).astype(dtype))
 
-    def flat_qm(x, dd, rq=None):
-        # rq arrives as the step_eval aux carry: the trial evaluation's
-        # Rayleigh quotient, so no fresh reduction precedes the CG init.
+    def flat_qm(x, dd, aux=None):
+        # aux arrives as the step_eval carry: the trial Rayleigh quotient
+        # plus the flat engine's pre-loop dot group, both computed inside
+        # the trial-evaluation pass — NO reduction runs between the outer
+        # back-edge and the first CG iteration.
+        rq = aux.rq if aux is not None else None
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
-        return A0, U, B
+        return A0, U, B, (aux.init if aux is not None else None)
 
     problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
                                 step_eval=sphere_rayleigh_step(A_elem))

@@ -112,7 +112,7 @@ def probe_step_eval():
     def run(x, h):
         tot = jnp.zeros((), jnp.float32)
         for _ in range(C):
-            x, f, grad, gn, rq = step(x, h, None)
+            x, f, grad, gn, aux = step(x, h, None)
             h = (-0.01 * grad).astype(DT)
             tot = tot + f
         return x, tot
@@ -139,9 +139,10 @@ def probe_tnt():
     def grad(x, dd):
         return M.proj(x, (2.0 * A_elem(x)).astype(DT))
 
-    def flat_qm(x, dd, rq=None):
+    def flat_qm(x, dd, aux=None):
+        rq = aux.rq if aux is not None else None
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
-        return A0, U, B
+        return A0, U, B, (aux.init if aux is not None else None)
 
     problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
                                 step_eval=sphere_rayleigh_step(A_elem))

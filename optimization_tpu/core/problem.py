@@ -56,7 +56,11 @@ class RiemannianProblem:
     # B (k, k) symmetric).  Valid only when the iterate is a flat array and
     # the manifold metric is the ambient Euclidean dot (sphere, Euclidean);
     # TNT then runs its trust-region subproblem at one fused memory pass +
-    # one reduction sync per CG iteration.
+    # one reduction sync per CG iteration.  It may return a FOURTH element
+    # — a ``linalg.flat_cg.FlatCGInit`` pre-loop dot group (typically
+    # computed inside ``step_eval``'s fused pass and threaded through the
+    # aux carry) — and TNT forwards it to ``stpcg_flat(init=)`` so the
+    # subproblem starts with zero reductions (pair engine only).
     flat_qm: Optional[Callable[..., Any]] = None
     # Optional fused trial-step evaluator for TNT's outer iteration:
     # ``step_eval(x, h, data) -> (x_prop, f_prop, grad_prop, gradnorm_prop)``

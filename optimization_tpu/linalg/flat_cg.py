@@ -95,8 +95,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["FlatCGResult", "stpcg_flat", "sphere_rayleigh_flat",
-           "sphere_rayleigh_step"]
+__all__ = ["FlatCGResult", "FlatCGInit", "stpcg_flat", "flat_init_dots",
+           "sphere_rayleigh_flat", "sphere_rayleigh_step"]
 
 # A step-t (t>=1) scalar assembly is trusted only if the surviving value
 # exceeds this fraction of the absolute mass of its terms; below it the
@@ -126,6 +126,58 @@ def _acc_dt(x):
 def _dot(a, b):
     dt = jnp.promote_types(_acc_dt(a), _acc_dt(b))
     return jnp.sum(a.astype(dt) * b.astype(dt))
+
+
+def _norm_U(U, B, sdt):
+    """Normalize the low-rank term to (tuple-of-nullary-callables, B)."""
+    if U is None:
+        return (), jnp.zeros((0, 0), sdt)
+    U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
+    return U, jnp.asarray(B, sdt)
+
+
+class FlatCGInit(NamedTuple):
+    """The pair engine's init reduction group over r0 = g (see
+    :func:`flat_init_dots`): supplying it to :func:`stpcg_flat` removes
+    every pre-loop memory pass and reduction sync from the engine — the
+    caller computed these dots inside an earlier fused pass that already
+    held g and U in registers (e.g. the TNT trial-step evaluator,
+    ``sphere_rayleigh_step``)."""
+
+    rv: jnp.ndarray           # <g, g>
+    ar: jnp.ndarray           # <A0 g, g>
+    nr: jnp.ndarray           # |A0 g|^2
+    m: jnp.ndarray            # U' g                 (k,)
+    mA: jnp.ndarray           # U' (A0 g)            (k,)
+    UU: jnp.ndarray           # U' U                 (k, k)
+
+
+def flat_init_dots(g, A0, U, B=None) -> FlatCGInit:
+    """Compute the pair engine's init dot group for ``stpcg_flat(init=)``.
+
+    Exactly the reductions ``_stpcg_flat_pair`` would run before its loop
+    (same accumulation dtypes and order, so threading the result through
+    ``init=`` is numerically invisible).  Call it where ``g`` and the ``U``
+    vectors are already live in registers of a fused pass — e.g. inside a
+    ``RiemannianProblem.step_eval`` — and XLA folds the whole CG init into
+    that pass's reduction group instead of paying a separate pre-loop pass
+    + sync per outer iteration (the dominant share of TNT's measured
+    ~2.5-3 ms/outer fixed cost at n=2^24, docs/ROADMAP.md).
+    """
+    sdt = _acc_dt(g)
+    U, B = _norm_U(U, B, sdt)
+    k_lr = len(U)
+
+    def Udots(v):
+        if k_lr == 0:
+            return jnp.zeros((0,), sdt)
+        return jnp.stack([_dot(u(), v) for u in U])
+
+    A0g = A0(g).astype(sdt)
+    UU = (jnp.stack([Udots(u()) for u in U]) if k_lr
+          else jnp.zeros((0, 0), sdt))
+    return FlatCGInit(rv=_dot(g, g), ar=_dot(A0g, g), nr=_dot(A0g, A0g),
+                      m=Udots(g), mA=Udots(A0g), UU=UU)
 
 
 class _PairState(NamedTuple):
@@ -172,6 +224,7 @@ def _stpcg_flat_pair(
     kappa_fgr: float = 0.1,
     theta: float = 0.5,
     epsilon: float = 1e-8,
+    init: Optional[FlatCGInit] = None,
 ) -> FlatCGResult:
     """The round-2 pair-deferred engine: ONE fused ~6n-word pass + ONE
     reduction sync per CG iteration (s updates merged across unrolled
@@ -181,6 +234,10 @@ def _stpcg_flat_pair(
     iteration (measured ~490-570 GB/s at n=2^24; 1211 CG it/s f32, 2781
     bf16) where the s-step engine's larger reduction group splits and runs
     slower despite fewer syncs.
+
+    ``init`` (a :class:`FlatCGInit` from :func:`flat_init_dots`) supplies
+    the pre-loop dot group, removing every memory pass and reduction sync
+    before the while loop.
     """
     n = g.shape[0]
     dtype = g.dtype
@@ -192,12 +249,8 @@ def _stpcg_flat_pair(
     # An entry may also be a NULLARY CALLABLE returning the vector: it is
     # then regenerated elementwise inside every fusion instead of being
     # stored and re-read from HBM (e.g. y = 2 A x for elementwise A).
-    if U is None:
-        U = ()
-        B = jnp.zeros((0, 0), sdt)
-    U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
+    U, B = _norm_U(U, B, sdt)
     k_lr = len(U)
-    B = jnp.asarray(B, sdt)
 
     Delta = jnp.asarray(Delta, sdt)
     Delta2 = Delta * Delta
@@ -218,14 +271,13 @@ def _stpcg_flat_pair(
                 out = out + c[j] * U[j]().astype(sdt)
         return out
 
-    # --- initialization: r0 = g, p_{-1} = 0, beta_0 = 0 ---
+    # --- initialization: r0 = g, p_{-1} = 0, beta_0 = 0.  The dot group
+    # (and UU below) comes from the caller when supplied — zero pre-loop
+    # passes/syncs — else is computed here via the same helper. ---
     r0 = g
-    rv0 = _dot(r0, r0)
-    A0r0 = A0(r0).astype(sdt)
-    ar0 = _dot(A0r0, r0)
-    nr0 = _dot(A0r0, A0r0)
-    m0 = Udots(r0)
-    mA0 = Udots(A0r0)
+    if init is None:
+        init = flat_init_dots(g, A0, U, B)
+    rv0, ar0, nr0, m0, mA0 = init.rv, init.ar, init.nr, init.m, init.mA
 
     r0_norm = jnp.sqrt(rv0)
     target = r0_norm * jnp.minimum(jnp.asarray(kappa_fgr, sdt),
@@ -245,8 +297,7 @@ def _stpcg_flat_pair(
     )
 
     eps2 = jnp.asarray(epsilon, sdt) ** 2
-    UU = (jnp.stack([Udots(u()) for u in U]) if k_lr
-          else jnp.zeros((0, 0), sdt))
+    UU = init.UU
 
     def cond(st: _State):
         return ((st.k < max_iterations) & ~st.done
@@ -395,6 +446,7 @@ def stpcg_flat(
     epsilon: float = 1e-8,
     s_steps: int = 1,
     solve_mode: bool = False,
+    init: Optional[FlatCGInit] = None,
 ) -> FlatCGResult:
     """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
     H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
@@ -429,12 +481,21 @@ def stpcg_flat(
     - vmap-safe: under ``jax.vmap`` the while_loop body keeps executing on
       lanes whose own condition already failed; every state write is gated
       on the lane's live-ness so finished lanes are bit-frozen.
+    - ``init``: optional :class:`FlatCGInit` from :func:`flat_init_dots`
+      computed in an earlier fused pass (e.g. a TNT ``step_eval``); the
+      pair engine then runs zero passes/syncs before its loop.  Pair
+      engine only.
     """
     if s_steps <= 1 and not solve_mode:
         return _stpcg_flat_pair(g, A0, U, B, Delta,
                                 max_iterations=max_iterations,
                                 kappa_fgr=kappa_fgr, theta=theta,
-                                epsilon=epsilon)
+                                epsilon=epsilon, init=init)
+    if init is not None:
+        raise ValueError(
+            "init= (the precomputed pre-loop dot group) is only supported "
+            "by the pair engine (s_steps=1, solve_mode=False); the s-step "
+            "engine's init set is the depth-2S moment/low-rank group")
     return _stpcg_flat_sstep(g, A0, U, B, Delta,
                              max_iterations=max_iterations,
                              kappa_fgr=kappa_fgr, theta=theta,
@@ -862,7 +923,18 @@ def _stpcg_flat_sstep(
                         predicted_decrease=-st.mval)
 
 
-def sphere_rayleigh_step(A_elem):
+class SphereStepAux(NamedTuple):
+    """The ``sphere_rayleigh_step`` aux carry: the trial Rayleigh quotient
+    plus the flat engine's pre-loop dot group at the trial point (TNT
+    selects it on accept/reject alongside x/f/grad, so the next CG solve
+    starts with ZERO reductions — on a rejected step the iterate, gradient,
+    and therefore the whole group are unchanged)."""
+
+    rq: jnp.ndarray
+    init: FlatCGInit
+
+
+def sphere_rayleigh_step(A_elem, with_init: bool = True):
     """Fused TNT trial-step evaluator for f(x) = <x, A x> on S^{n-1}
     (the ``RiemannianProblem.step_eval`` seam; A applied elementwise by
     ``A_elem``, f32+ accumulation).
@@ -883,10 +955,17 @@ def sphere_rayleigh_step(A_elem):
     non-CG cost of the headline TNT, VERDICT round-2 item 7).
 
     Returns ``step_eval(x, h, data) -> (x_prop, f_prop, grad, gradnorm,
-    rq')`` — the 5th element is the trial Rayleigh quotient, which TNT
-    threads back into ``flat_qm(x, data, rq)`` so the next quadratic
-    model's A0/U/B need no fresh reduction before the CG init group
-    (``sphere_rayleigh_flat(x, A_elem, rq=rq)``).
+    aux)`` with ``aux`` a :class:`SphereStepAux`: the trial Rayleigh
+    quotient plus (``with_init=True``) the flat engine's pre-loop dot
+    group (:func:`flat_init_dots`) evaluated HERE, on the cast trial
+    point/gradient, inside this same fused pass — x_prop, g, and A(...)
+    chains are all register values, so the extra dots ride this pass's
+    reduction group for free.  TNT threads aux into
+    ``flat_qm(x, data, aux)``, which forwards ``aux.init`` to
+    ``stpcg_flat(init=)``: the next outer iteration then runs NO memory
+    pass and NO reduction sync between the while-loop back-edge and the
+    first CG iteration (the init group + its sync were the dominant share
+    of the measured ~2.5-3 ms/outer fixed cost at n=2^24).
     """
     def step_eval(x, h, data):
         sdt = _acc_dt(x)
@@ -901,7 +980,14 @@ def sphere_rayleigh_step(A_elem):
         x_prop = (c * u).astype(x.dtype)
         g = ((2.0 * c) * au - (rqp * c) * u).astype(x.dtype)
         gn = jnp.sqrt(jnp.maximum(4.0 * na2 / n2 - rqp * rqp, 0.0))
-        return x_prop, f_prop, g, gn, rqp
+        if not with_init:
+            return x_prop, f_prop, g, gn, SphereStepAux(rq=rqp, init=None)
+        # The dot group the next CG solve needs, computed on the CAST
+        # x_prop/g exactly as the engine itself would (same helper, same
+        # accumulation), so init-threading is numerically invisible.
+        A0p, Up, Bp, _ = sphere_rayleigh_flat(x_prop, A_elem, rq=rqp)
+        init = flat_init_dots(g, A0p, Up, Bp)
+        return x_prop, f_prop, g, gn, SphereStepAux(rq=rqp, init=init)
 
     return step_eval
 

@@ -259,13 +259,21 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             from ..linalg.flat_cg import stpcg_flat
 
             if st.aux is not None:
-                A0, Uf, Bf = problem.flat_qm(x, data, st.aux)
+                qm_out = problem.flat_qm(x, data, st.aux)
             else:
-                A0, Uf, Bf = problem.flat_qm(x, data)
+                qm_out = problem.flat_qm(x, data)
+            # Optional 4th element: the engine's pre-loop dot group
+            # (FlatCGInit), carried through the aux seam from step_eval so
+            # the subproblem starts with zero reductions.  Pair engine
+            # only — with s_steps >= 2 it is dropped.
+            A0, Uf, Bf = qm_out[:3]
+            initd = qm_out[3] if len(qm_out) > 3 else None
+            if params.flat_s_steps > 1:
+                initd = None
             cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
                             max_iterations=params.max_TPCG_iterations,
                             kappa_fgr=params.kappa_fgr, theta=params.theta,
-                            s_steps=params.flat_s_steps)
+                            s_steps=params.flat_s_steps, init=initd)
             flat_dm = cg.predicted_decrease
         else:
             flat_dm = None

@@ -237,7 +237,7 @@ def test_step_eval_matches_separate_evaluation():
     x = x / jnp.linalg.norm(x)
     h = M.proj(x, jnp.asarray(rng.normal(size=n)) * 0.1)
 
-    x_prop, f_prop, g, gn, rqp = se(x, h, None)
+    x_prop, f_prop, g, gn, aux = se(x, h, None)
     x_ref = M.retract(x, h)
     np.testing.assert_allclose(np.asarray(x_prop), np.asarray(x_ref),
                                atol=1e-12)
@@ -248,9 +248,16 @@ def test_step_eval_matches_separate_evaluation():
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-10)
     np.testing.assert_allclose(float(gn), float(jnp.linalg.norm(g_ref)),
                                rtol=1e-10)
-    np.testing.assert_allclose(float(rqp),
+    np.testing.assert_allclose(float(aux.rq),
                                float(jnp.dot(x_ref, 2.0 * A_elem(x_ref))),
                                rtol=1e-12)
+    # the aux init group == the engine's own init dots at the trial point
+    from optimization_tpu.linalg.flat_cg import flat_init_dots
+    A0p, Up, Bp, _ = sphere_rayleigh_flat(x_prop, A_elem, rq=aux.rq)
+    ref_init = flat_init_dots(g, A0p, Up, Bp)
+    for got, want in zip(aux.init, ref_init):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-13, atol=0)
 
     # full-solve parity through TNT
     def f(x, dd):
@@ -263,10 +270,12 @@ def test_step_eval_matches_separate_evaluation():
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
         return A0, U, B
 
-    def flat_qm_aux(x, dd, rq=None):
-        # the step_eval aux carry supplies the Rayleigh quotient
+    def flat_qm_aux(x, dd, aux=None):
+        # the step_eval aux carry supplies the Rayleigh quotient AND the
+        # engine's pre-loop dot group (threaded to stpcg_flat(init=))
+        rq = aux.rq if aux is not None else None
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
-        return A0, U, B
+        return A0, U, B, (aux.init if aux is not None else None)
 
     params = tnt.TNTParams(
         max_iterations=100, max_TPCG_iterations=60,
@@ -282,3 +291,142 @@ def test_step_eval_matches_separate_evaluation():
     assert abs(int(r0.num_iterations) - int(r1.num_iterations)) <= 1
     np.testing.assert_allclose(float(r1.f), float(r0.f), rtol=1e-10)
     assert float(r1.gradfx_norm) < 1e-6
+
+
+class TestInitThreading:
+    """stpcg_flat(init=flat_init_dots(...)) must be numerically invisible:
+    the same helper computes the same dots the engine would, so supplying
+    them only removes the pre-loop pass/sync (the TNT per-outer fixed-cost
+    lever, docs/ROADMAP.md 'Outer-iteration overhead')."""
+
+    def test_engine_parity_exact(self):
+        from optimization_tpu.linalg.flat_cg import flat_init_dots
+        d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=21)
+        for Delta in (1e9, 0.5, 0.05):
+            ref = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                             kappa_fgr=0.05, theta=0.5)
+            res = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                             kappa_fgr=0.05, theta=0.5,
+                             init=flat_init_dots(g, A0, U, B))
+            assert int(res.num_iterations) == int(ref.num_iterations)
+            np.testing.assert_array_equal(np.asarray(res.s),
+                                          np.asarray(ref.s))
+            np.testing.assert_array_equal(float(res.update_step_M_norm),
+                                          float(ref.update_step_M_norm))
+
+    def test_engine_parity_indefinite_and_kernel(self):
+        from optimization_tpu.linalg.flat_cg import flat_init_dots
+        n = 200
+        rng = np.random.default_rng(9)
+        for d in (jnp.asarray(rng.uniform(-2.0, 5.0, n)),   # indefinite
+                  jnp.zeros(n)):                             # kernel
+            g = jnp.asarray(rng.normal(size=n))
+            A0 = lambda v: d * v
+            ref = stpcg_flat(g, A0, None, None, 2.0, max_iterations=500,
+                             kappa_fgr=1e-8, theta=0.999)
+            res = stpcg_flat(g, A0, None, None, 2.0, max_iterations=500,
+                             kappa_fgr=1e-8, theta=0.999,
+                             init=flat_init_dots(g, A0, None))
+            assert int(res.num_iterations) == int(ref.num_iterations)
+            np.testing.assert_array_equal(np.asarray(res.s),
+                                          np.asarray(ref.s))
+
+    def test_sstep_engine_rejects_init(self):
+        from optimization_tpu.linalg.flat_cg import flat_init_dots
+        d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=22)
+        init = flat_init_dots(g, A0, U, B)
+        with pytest.raises(ValueError, match="pair engine"):
+            stpcg_flat(g, A0, U, B, 1.0, s_steps=2, init=init)
+
+    def test_tnt_init_threading_matches_plain_flat(self):
+        """Full TNT: step_eval aux carrying FlatCGInit (the headline
+        bench.py wiring) == the plain flat path, including across
+        REJECTED steps (small Delta0 forces rejections, exercising the
+        carried-dot-group-unchanged-on-reject invariant)."""
+        from optimization_tpu import RiemannianProblem
+        from optimization_tpu.linalg.flat_cg import sphere_rayleigh_step
+        from optimization_tpu.manifolds import sphere
+        from optimization_tpu.solvers import tnt
+
+        n = 1024
+        d = jnp.linspace(1.0, 300.0, n)
+        A_elem = lambda v: d * v
+        M = sphere()
+
+        def f(x, dd):
+            return jnp.dot(x, A_elem(x))
+
+        def grad(x, dd):
+            return M.proj(x, 2.0 * A_elem(x))
+
+        def flat_qm(x, dd):
+            A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+            return A0, U, B
+
+        def flat_qm_aux(x, dd, aux=None):
+            rq = aux.rq if aux is not None else None
+            A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
+            return A0, U, B, (aux.init if aux is not None else None)
+
+        # eta1 high + tiny alpha1 => plenty of rejected steps early on
+        params = tnt.TNTParams(
+            max_iterations=80, max_TPCG_iterations=40, Delta0=10.0,
+            eta1=0.3, gradient_tolerance=1e-6,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+            preconditioned_gradient_tolerance=0.0)
+        x0 = M.rand(jax.random.PRNGKey(11), n).astype(jnp.float64)
+        plain = RiemannianProblem(f=f, manifold=M, grad=grad,
+                                  flat_qm=flat_qm)
+        fused = RiemannianProblem(f=f, manifold=M, grad=grad,
+                                  flat_qm=flat_qm_aux,
+                                  step_eval=sphere_rayleigh_step(A_elem))
+        r0 = tnt.solve(plain, x0, params, data=None)
+        r1 = tnt.solve(fused, x0, params, data=None)
+        # some step must have been rejected for this test to bite
+        gains = np.asarray(r1.gain_ratios)[:int(r1.num_iterations)]
+        assert np.any(~(gains > params.eta1))
+        assert int(r0.status) == int(r1.status)
+        assert int(r0.num_iterations) == int(r1.num_iterations)
+        np.testing.assert_allclose(float(r1.f), float(r0.f), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r0.x),
+                                   atol=1e-10)
+
+    def test_tnt_init_threading_bf16(self):
+        """bf16 storage tier with init threading converges to the same
+        quality as without (the headline configuration in miniature)."""
+        from optimization_tpu import RiemannianProblem
+        from optimization_tpu.linalg.flat_cg import sphere_rayleigh_step
+        from optimization_tpu.manifolds import sphere
+        from optimization_tpu.solvers import tnt
+
+        n = 4096
+        dvec = jnp.linspace(1.0, 1000.0, n).astype(jnp.float32)
+        A_elem = lambda v: dvec * v.astype(jnp.float32)
+        M = sphere()
+
+        def f(x, dd):
+            return jnp.dot(x.astype(jnp.float32), A_elem(x))
+
+        def grad(x, dd):
+            return M.proj(x, (2.0 * A_elem(x)).astype(x.dtype))
+
+        def flat_qm_aux(x, dd, aux=None):
+            rq = aux.rq if aux is not None else None
+            A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
+            return A0, U, B, (aux.init if aux is not None else None)
+
+        params = tnt.TNTParams(
+            max_iterations=30, max_TPCG_iterations=50,
+            gradient_tolerance=0.0, relative_decrease_tolerance=0.0,
+            stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+        x0 = M.rand(jax.random.PRNGKey(2), n).astype(jnp.bfloat16)
+        for with_init in (False, True):
+            prob = RiemannianProblem(
+                f=f, manifold=M, grad=grad, flat_qm=flat_qm_aux,
+                step_eval=sphere_rayleigh_step(A_elem,
+                                               with_init=with_init))
+            res = tnt.solve(prob, x0, params, data=None)
+            assert res.x.dtype == jnp.bfloat16
+            # both tiers march the kappa=1000 quotient to the same
+            # neighborhood of lambda_min = 1 at this fixed effort
+            assert float(res.f) < 1.05, with_init
