@@ -1,0 +1,98 @@
+"""Riemannian staircase: certified escape from a stuck critical point.
+
+Rotation synchronization on a RING graph (no redundant edges) with
+moderate noise has spurious critical points: from a random init, plain
+TNT on SO(d)^n converges to a stationary point whose dual certificate
+FAILS (lam_min < 0).  The SE-Sync staircase (``rotation_sync.
+solve_staircase``) then lifts the iterate to the rank-p relaxation,
+escapes along the certificate's negative eigenvector (a second-order
+descent direction at the lifted saddle), re-solves, and rounds back —
+returning a *certified globally optimal* estimate the plain solve could
+not reach.  Reference seams: the TNT loop (``Riemannian/TNT.h:446-607``)
+and LOBPCG certificate (``LOBPCG.h:237-330``) power every level.
+
+Run: python examples/staircase_escape.py            (TPU f32)
+     OPTTPU_PLATFORM=cpu python examples/staircase_escape.py  (CPU f64)
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _common import setup
+
+setup()
+
+from optimization_tpu.models import rotation_sync as rs
+from optimization_tpu.solvers import tnt
+
+
+def ring_instance(n, d, noise, seed):
+    """Ground-truth rotations on a ring, relative measurements perturbed
+    by rotations exp(noise * skew) (polar-projected)."""
+    key = jax.random.PRNGKey(seed)
+    dtype = jnp.zeros(()).dtype
+    R_true, _ = rs.random_instance(key, n, d, extra_edges=0, noise=0.0,
+                                   dtype=dtype)
+    src = jnp.concatenate([jnp.arange(n - 1, dtype=jnp.int32),
+                           jnp.array([n - 1], jnp.int32)])
+    dst = jnp.concatenate([jnp.arange(1, n, dtype=jnp.int32),
+                           jnp.array([0], jnp.int32)])
+    Rij = R_true[src] @ jnp.swapaxes(R_true[dst], -1, -2)
+    w = noise * jax.random.normal(jax.random.PRNGKey(100 + seed),
+                                  (n, d, d), dtype)
+    skew = 0.5 * (w - jnp.swapaxes(w, -1, -2))
+    # polar projection of I + skew (+ 2nd-order term) onto SO(d)
+    u, _, vt = jnp.linalg.svd(jnp.eye(d) + skew + 0.5 * (skew @ skew))
+    pert = u @ vt
+    return R_true, rs.RotationSyncData(src=src, dst=dst, Rij=pert @ Rij)
+
+
+def main():
+    n, d, seed = 12, 3, 0
+    f64 = jnp.zeros(()).dtype == jnp.float64
+    R_true, data = ring_instance(n, d, noise=0.3, seed=seed)
+
+    params = tnt.TNTParams(
+        max_iterations=200,
+        gradient_tolerance=1e-10 if f64 else 2e-4,
+        relative_decrease_tolerance=0.0, stepsize_tolerance=0.0,
+        preconditioned_gradient_tolerance=0.0)
+
+    # Plain chordal solve from a RANDOM init (spectral init usually lands
+    # in the right basin — the stuck regime needs a bad start).
+    R0 = rs.ROTATIONS.rand(jax.random.PRNGKey(1000), n, d, d)
+    t0 = time.time()
+    res = tnt.solve(rs.make_problem(), R0, params, data=data)
+    cert = rs.certify(res.x, data, tau=1e-6 if f64 else 1e-3)
+    print(f"[plain TNT]  f={float(res.f):.6f}  "
+          f"certified={bool(cert.certified)}  "
+          f"lam_min={float(cert.lam_min):+.4f}  "
+          f"wall={time.time() - t0:.2f}s")
+
+    t0 = time.time()
+    out = rs.solve_staircase(data, n, d, params=params, R0=R0,
+                             cert_tau=1e-6 if f64 else 1e-3)
+    print(f"[staircase]  f={float(out.result.f):.6f}  "
+          f"certified={bool(out.certified)}  p_final={out.p_final}  "
+          f"rank_gap={out.rank_gap:.2e}  wall={time.time() - t0:.2f}s")
+    for p, fval, lam, ok in out.levels:
+        print(f"    level p={p}: f={float(fval):.6f}  "
+              f"lam_min={float(lam):+.4f}  sdp_certified={bool(ok)}")
+    err = rs.mean_rotation_error(out.R, R_true)
+    print(f"    aligned error vs ground truth: {float(err):.4f}")
+
+    if not bool(cert.certified):
+        assert bool(out.certified), "staircase failed to certify"
+        assert float(out.result.f) <= float(res.f) + 1e-9
+        print("staircase escaped a certified-suboptimal critical point "
+              "and certified the global optimum")
+    else:
+        print("(this seed/backend landed in the global basin already — "
+              "the staircase certified at p=d without lifting)")
+
+
+if __name__ == "__main__":
+    main()
