@@ -18,10 +18,9 @@ test_dp_sharded_lobpcg_fleet_matches_single_device pins bitwise equality).
 Run:  python examples/certification_fleet.py  (CPU or TPU; f32 on TPU)
 """
 
-import sys
-import os
+from _common import setup
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+setup()
 
 import jax
 import jax.numpy as jnp

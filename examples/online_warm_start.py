@@ -22,10 +22,9 @@ Mechanics this exercises (all public seams):
 Run:  python examples/online_warm_start.py   (CPU f64 or TPU f32)
 """
 
-import sys
-import os
+from _common import setup
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+setup()
 
 import jax
 import jax.numpy as jnp
