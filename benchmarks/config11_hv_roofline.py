@@ -96,8 +96,8 @@ def _variants(n, K):
 
 
 def main():
-    spec = chip_bandwidth()
-    lines = []
+    spec, kind = chip_bandwidth()
+    lines = [kind]
     best_proj = 0.0
     for n, tag in [(1 << 24, "2^24"), (1 << 20, "2^20")]:
         K = K_BY_N[n]
