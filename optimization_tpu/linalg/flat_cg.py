@@ -165,6 +165,9 @@ def flat_init_dots(g, A0, U, B=None) -> FlatCGInit:
     ~2.5-3 ms/outer fixed cost at n=2^24, docs/ROADMAP.md).
     """
     sdt = _acc_dt(g)
+    if U is not None and len(U) and B is None:
+        raise ValueError("flat_init_dots: B is required when U is given "
+                         "(same contract as stpcg_flat)")
     U, B = _norm_U(U, B, sdt)
     k_lr = len(U)
 
@@ -966,6 +969,12 @@ def sphere_rayleigh_step(A_elem, with_init: bool = True):
     pass and NO reduction sync between the while-loop back-edge and the
     first CG iteration (the init group + its sync were the dominant share
     of the measured ~2.5-3 ms/outer fixed cost at n=2^24).
+
+    NB: TNT seeds the carry by calling this at (x0, h=0), whose outputs
+    describe the NORMALIZED x0 — while TNT's own f0/grad0 are evaluated
+    at x0 as given.  Pass a (near-)unit x0 so the seeded group is
+    consistent with the first subproblem's actual gradient (bench.py and
+    every test do; the discrepancy is one rounding of |x0| - 1).
     """
     def step_eval(x, h, data):
         sdt = _acc_dt(x)
