@@ -136,30 +136,53 @@ def run_tier(n, dtype, grad_tol, max_tpcg=50):
     return (inner / dt if dt > 0 else 0.0), outer, inner, dt, fstar
 
 
-def check_backend_alive(timeout=240):
-    """Fail fast if the TPU runtime hangs at backend initialization.
+_ALIVE_CACHE = "/tmp/opttpu_backend_alive"
 
-    An axon tunnel outage makes ``jax.devices()`` block forever (observed
-    2026-08-17: >4 h), which would hang the whole benchmark harness.  Probe
-    backend init in a throwaway subprocess with a timeout; on a hang, emit
-    an honest one-line JSON result (value 0) instead of hanging the caller.
+
+def backend_alive(timeout=240, cache_seconds=600):
+    """True unless backend initialization hangs (axon tunnel outage).
+
+    An outage makes ``jax.devices()`` block forever (observed 2026-08-17:
+    >7 h), so the probe runs in a throwaway subprocess with a timeout.  A
+    recent success is cached in a marker file so callers (every example,
+    plus this benchmark) don't pay a second multi-second backend attach on
+    each startup while the tunnel is known-healthy.
     """
     import subprocess
+    try:
+        if time.time() - os.path.getmtime(_ALIVE_CACHE) < cache_seconds:
+            return True
+    except OSError:
+        pass
     try:
         subprocess.run(
             [sys.executable, "-c", "import jax; jax.devices()"],
             timeout=timeout, capture_output=True)
-        return
     except subprocess.TimeoutExpired:
-        print(json.dumps({
-            "metric": "tnt_flat_cg_iters_per_s_bf16",
-            "value": 0.0,
-            "unit": (f"UNMEASURED: backend initialization hung >{timeout}s "
-                     f"(TPU tunnel outage) — benchmark skipped, not run; "
-                     f"last verified on hardware: 2817 CG it/s bf16"),
-            "vs_baseline": 0.0,
-        }))
-        sys.exit(1)
+        return False
+    try:
+        with open(_ALIVE_CACHE, "w"):
+            pass
+    except OSError:
+        pass
+    return True
+
+
+def check_backend_alive(timeout=240):
+    """Fail fast if the TPU runtime hangs at backend initialization: on a
+    hang, emit an honest one-line JSON result (value 0) and exit instead
+    of hanging the whole benchmark harness."""
+    if backend_alive(timeout):
+        return
+    print(json.dumps({
+        "metric": "tnt_flat_cg_iters_per_s_bf16",
+        "value": 0.0,
+        "unit": (f"UNMEASURED: backend initialization hung >{timeout}s "
+                 f"(TPU tunnel outage) — benchmark skipped, not run; "
+                 f"last verified on hardware: 2817 CG it/s bf16"),
+        "vs_baseline": 0.0,
+    }))
+    sys.exit(1)
 
 
 def main():

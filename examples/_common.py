@@ -10,15 +10,10 @@ import jax
 
 
 def _backend_alive(timeout: float = 240) -> bool:
-    """Probe backend init in a subprocess: a dead TPU tunnel makes
-    jax.devices() block forever (same guard as bench.py)."""
-    import subprocess
-    try:
-        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
-                       timeout=timeout, capture_output=True)
-        return True
-    except subprocess.TimeoutExpired:
-        return False
+    """Probe backend init (subprocess + success cache): a dead TPU tunnel
+    makes jax.devices() block forever.  Shared with bench.py."""
+    from bench import backend_alive
+    return backend_alive(timeout)
 
 
 def setup(platform: str | None = None, n_cpu_devices: int | None = None,

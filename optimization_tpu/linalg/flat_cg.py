@@ -130,7 +130,7 @@ def _dot(a, b):
 
 def _norm_U(U, B, sdt):
     """Normalize the low-rank term to (tuple-of-nullary-callables, B)."""
-    if U is None:
+    if U is None or len(U) == 0:
         return (), jnp.zeros((0, 0), sdt)
     U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
     return U, jnp.asarray(B, sdt)
@@ -166,8 +166,8 @@ def flat_init_dots(g, A0, U, B=None) -> FlatCGInit:
     """
     sdt = _acc_dt(g)
     if U is not None and len(U) and B is None:
-        raise ValueError("flat_init_dots: B is required when U is given "
-                         "(same contract as stpcg_flat)")
+        raise ValueError("flat_init_dots: B is required when U is "
+                         "non-empty (same contract as stpcg_flat)")
     U, B = _norm_U(U, B, sdt)
     k_lr = len(U)
 
@@ -549,12 +549,8 @@ def _stpcg_flat_sstep(
     K = 2 * S                   # max H-power whose moments are carried
     dim = 2 * (K + 1)           # coefficient basis {H^i r}_{0..K} + {H^i p}
 
-    if U is None:
-        U = ()
-        B = jnp.zeros((0, 0), sdt)
-    U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
+    U, B = _norm_U(U, B, sdt)
     k_lr = len(U)
-    B = jnp.asarray(B, sdt)
 
     Delta = jnp.asarray(Delta, sdt)
     Delta2 = Delta * Delta

@@ -191,21 +191,29 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             pgn = gn
         return g, gn, pgn
 
-    f0 = jnp.asarray(problem.value(x0, data))
-    dtype = f0.dtype
-    g0, gn0, pgn0 = grad_and_norms(x0)
-    sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
-
-    # Seed the step_eval aux carry (h = 0: the trial point IS x0), and
-    # learn statically whether the evaluator supplies one.
+    # Seed the step_eval aux carry (h = 0: the trial point is retract(x0,
+    # 0), i.e. x0 up to the evaluator's normalization), and learn
+    # statically whether the evaluator supplies one.  With an evaluator,
+    # the initial point/objective/gradient are taken FROM the seed call:
+    # one fused pass instead of separate value/grad passes, and — when the
+    # aux carries a FlatCGInit — the seeded dot group is self-consistent
+    # with the first subproblem's actual r0 = grad even if the caller's
+    # x0 was not exactly on the manifold (the evaluator normalizes both).
     use_step_eval = (problem.step_eval is not None
                      and problem.precon is None)
     aux0 = None
     if use_step_eval:
         out0 = problem.step_eval(
             x0, jax.tree_util.tree_map(jnp.zeros_like, x0), data)
+        x0, f0, g0, gn0 = out0[0], jnp.asarray(out0[1]), out0[2], out0[3]
+        pgn0 = gn0
         if len(out0) >= 5:
             aux0 = out0[4]
+    else:
+        f0 = jnp.asarray(problem.value(x0, data))
+        g0, gn0, pgn0 = grad_and_norms(x0)
+    dtype = f0.dtype
+    sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
     nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
     nan_step = jnp.full((n_step,), jnp.nan, dtype)
