@@ -112,7 +112,8 @@ def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
 
 def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
                                rtol=None, jacobi=True, with_iters=False,
-                               engine="cg", s_steps=2):
+                               engine="cg", s_steps=2,
+                               scatter_method="scatter"):
     """Matrix-free (P)CG solve of the weighted graph Laplacian L_tau z = r
     (L_tau = A' diag(tau) A with A the edge incidence operator), columnwise
     on (n, k) right-hand sides.  Consistent singular systems (columns of r
@@ -155,7 +156,16 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
     engine).
 
     ``with_iters=True`` makes the returned solve give ``(z, k)`` (iteration
-    count, for preconditioner benchmarking) instead of ``z``."""
+    count, for preconditioner benchmarking) instead of ``z``.
+
+    ``scatter_method`` selects the edge->vertex accumulation strategy of
+    the L apply (``models/graph.edge_accumulator``): ``"scatter"`` (the
+    baseline ``.at[].add()``), ``"gather"`` (padded incidence table — no
+    scatter at all), or ``"sort"`` (sorted ``segment_sum``).  Non-scatter
+    methods need concrete ``src``/``dst`` (host-side table construction).
+    """
+    from .graph import edge_accumulator
+    acc = edge_accumulator(src, dst, n, method=scatter_method)
     deg = (jnp.zeros((n,), tau.dtype)
            .at[src].add(tau).at[dst].add(tau))
     inv_deg = 1.0 / jnp.maximum(deg, jnp.finfo(tau.dtype).tiny)
@@ -182,8 +192,7 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
             def A0(v):
                 z = inv_dsq[:, None] * v.reshape(-1, k)
                 dz = tau[:, None] * (z[dst] - z[src])
-                out = jnp.zeros_like(z)
-                out = out.at[dst].add(dz).at[src].add(-dz)
+                out = acc(-dz, dz)
                 return (inv_dsq[:, None] * out).reshape(-1)
 
             ecols = tuple(
@@ -204,8 +213,7 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
 
     def L(z):
         dz = tau[:, None] * (z[dst] - z[src])
-        out = jnp.zeros_like(z)
-        return out.at[dst].add(dz).at[src].add(-dz)
+        return acc(-dz, dz)
 
     def M(res):
         if not jacobi:
@@ -247,7 +255,8 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
 
 def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
                          *, n=None, cg_iterations=400, jacobi=True,
-                         inner_engine="cg", inner_s_steps=2):
+                         inner_engine="cg", inner_s_steps=2,
+                         scatter_method="scatter"):
     """The full SE-Sync rotation problem with translations marginalized out.
 
     The SE(d) cost  sum_e kappa_e |R_j - R_i M_e|^2 + tau_e |t_j - t_i -
@@ -268,6 +277,11 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     SO(d)^n in the transposed variables Q_k = R_k' (solve it like
     rotation-sync, then transpose), and the symmetric PSD operator ``Q_op``
     on (n d, k) blocks (for certification via ``rotation_sync.certify``).
+
+    ``scatter_method`` selects the edge->vertex accumulation strategy used
+    by every adjoint in the operator (``models/graph.edge_accumulator``:
+    ``"scatter"`` / ``"gather"`` / ``"sort"``); non-default methods need
+    concrete ``src``/``dst``.
     """
     d = Mij.shape[-1]
     if n is None:
@@ -281,13 +295,20 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     tau = tau.astype(dtype)
     sqw = jnp.sqrt(tau)
 
+    from .graph import edge_accumulator
+    acc_inc = edge_accumulator(src, dst, n, method=scatter_method)
+    acc_src = edge_accumulator(src, dst, n, method=scatter_method,
+                               sides=("src",))
+
     rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
-    L_conn = rs.connection_laplacian_op(rot_data, n, d)
+    L_conn = rs.connection_laplacian_op(rot_data, n, d,
+                                        scatter_method=scatter_method)
     lap_solve = _weighted_laplacian_solver(src, dst, tau, n,
                                            max_iterations=cg_iterations,
                                            jacobi=jacobi,
                                            engine=inner_engine,
-                                           s_steps=inner_s_steps)
+                                           s_steps=inner_s_steps,
+                                           scatter_method=scatter_method)
 
     tijd = tij.astype(dtype)
 
@@ -302,15 +323,13 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
         # adjoint: block i accumulates sum_{e: src=i} t_e (x) Y_e
         k = Y.shape[-1]
         contrib = tijd[:, :, None] * Y[:, None, :]          # (E, d, k)
-        out = jnp.zeros((n, d, k), Y.dtype)
-        return out.at[src].add(contrib).reshape(n * d, k)
+        return acc_src(contrib, None).reshape(n * d, k)
 
     def A_inc(z):
         return z[dst] - z[src]
 
     def At_inc(y):
-        out = jnp.zeros((n, y.shape[-1]), y.dtype)
-        return out.at[dst].add(y).at[src].add(-y)
+        return acc_inc(-y, y)
 
     def proj_complement(Y):
         # (I - P) Y with P the projector onto range(W A), per column
@@ -581,7 +600,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                      cert_fast: bool = False,
                      marginalized: bool = False,
                      tau=None, inner_engine="cg",
-                     inner_s_steps=2, staircase: bool = False) -> PoseSyncResult:
+                     inner_s_steps=2, staircase: bool = False,
+                     scatter_method: str = "scatter") -> PoseSyncResult:
     """Full SE(d) pose synchronization of an ``io.g2o.PoseGraph``.
 
     With ``certify=True`` the rotation estimate is checked for *global*
@@ -604,7 +624,11 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
     problem is lifted through rank-p relaxations, escaped along the
     certificate eigenvector, and rounded back — returning a certifiably
     global rotation estimate where the plain solve would silently return
-    the stuck one.  Mutually exclusive with ``marginalized``."""
+    the stuck one.  Mutually exclusive with ``marginalized``.
+
+    ``scatter_method`` (marginalized path) picks the edge->vertex
+    accumulation strategy of the operator adjoints — see
+    :func:`marginalized_problem`."""
     src = jnp.asarray(graph.src)
     dst = jnp.asarray(graph.dst)
     Mij = jnp.asarray(graph.Rij, dtype)
@@ -617,7 +641,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                                                 kappa=kappa, tau=tau,
                                                 n=graph.n_vertices,
                                                 inner_engine=inner_engine,
-                                                inner_s_steps=inner_s_steps)
+                                                inner_s_steps=inner_s_steps,
+                                                scatter_method=scatter_method)
         rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
         Q0 = rs.spectral_init(rot_data, n, Mij.shape[-1],
                               key=key).astype(dtype)

@@ -178,14 +178,21 @@ def _orthonormalize(M):
     return M @ inv_sqrt
 
 
-def connection_laplacian_op(data: RotationSyncData, n: int, d: int):
+def connection_laplacian_op(data: RotationSyncData, n: int, d: int,
+                            scatter_method: str = "scatter"):
     """Matrix-free connection Laplacian L of the measurement graph.
 
     L acts on (n*d, k) blocks: block row i gets  deg_i X_i - sum_{e: i->j}
     R~_e X_j - sum_{e: j->i} R~_e^T X_j.  The bottom eigenspace of L is
     spanned by the (stacked) true rotations in the noiseless case — the
     SE-Sync chordal initialization.
+
+    ``scatter_method`` picks the edge->vertex accumulation strategy
+    (``models/graph.edge_accumulator``); non-``"scatter"`` methods need
+    concrete (untraced) ``data.src``/``data.dst``.
     """
+    from .graph import edge_accumulator
+    acc = edge_accumulator(data.src, data.dst, n, method=scatter_method)
     w = (data.kappa if data.kappa is not None
          else jnp.ones_like(data.src, dtype=data.Rij.dtype))
     deg = (jnp.zeros((n,), data.Rij.dtype)
@@ -198,9 +205,7 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int):
                           precision=jax.lax.Precision.HIGHEST)
         RtX_i = jnp.einsum("e,eji,ejk->eik", w, data.Rij, X[data.src],
                            precision=jax.lax.Precision.HIGHEST)
-        out = deg[:, None, None] * X
-        out = out.at[data.src].add(-RX_j)
-        out = out.at[data.dst].add(-RtX_i)
+        out = deg[:, None, None] * X + acc(-RX_j, -RtX_i)
         return out.reshape(n * d, k)
 
     return L
