@@ -74,9 +74,14 @@ def main():
 
     assert loaded.n_vertices == n and len(loaded.src) == len(graph.src)
 
+    # OPTTPU_SCATTER selects the edge->vertex accumulation strategy of the
+    # marginalized operator (models/graph.edge_accumulator) for A/B runs;
+    # the committed default follows the measured probe_scatter verdict.
+    scatter_method = os.environ.get("OPTTPU_SCATTER", "scatter")
     t0 = time.perf_counter()
     res = pose_sync.solve_pose_graph(loaded, dtype=jnp.float32,
-                                     marginalized=True, certify=True)
+                                     marginalized=True, certify=True,
+                                     scatter_method=scatter_method)
     jax.block_until_ready(res.t)
     wall = time.perf_counter() - t0
 
@@ -93,7 +98,8 @@ def main():
     emit("pose_graph_10k_certified_wall_s", wall,
          f"E2E marginalized SE-Sync solve+certificate, n=10^4 poses, "
          f"E={len(loaded.src)} (g2o via {'native' if native else 'python'} "
-         f"loader, {t_load * 1e3:.0f} ms); TNT {outer} outer/{inner} cg; "
+         f"loader, {t_load * 1e3:.0f} ms, scatter={scatter_method}); "
+         f"TNT {outer} outer/{inner} cg; "
          f"rot_err={float(rot_err):.4f} (noise {noise}), "
          f"t_err={float(t_err):.4f}, certified={bool(cert.certified)}, "
          f"lam_min={float(cert.lam_min):.2e}, "

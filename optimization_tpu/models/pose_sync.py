@@ -644,8 +644,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                                                 inner_s_steps=inner_s_steps,
                                                 scatter_method=scatter_method)
         rot_data = _transposed_rotation_data(src, dst, Mij, kappa)
-        Q0 = rs.spectral_init(rot_data, n, Mij.shape[-1],
-                              key=key).astype(dtype)
+        Q0 = rs.spectral_init(rot_data, n, Mij.shape[-1], key=key,
+                              scatter_method=scatter_method).astype(dtype)
         if params is None:
             f32 = dtype == jnp.float32
             params = tnt.TNTParams(
@@ -685,6 +685,7 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
                           _transposed_rotation_data(src, dst, Mij, kappa),
                           operator=cert_op,
                           rr_method=("chol" if cert_fast else "eigh"),
-                          precondition=cert_fast)
+                          precondition=cert_fast,
+                          scatter_method=scatter_method)
     return PoseSyncResult(R=R, t=t, rotation_result=rres,
                           translation_residual=tres, certificate=cert)

@@ -213,7 +213,8 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int,
 
 def spectral_init(data: RotationSyncData, n: int, d: int = 3,
                   key=None, max_iterations: int = 200,
-                  tau: float = 1e-3, rr_method: str = "eigh") -> jnp.ndarray:
+                  tau: float = 1e-3, rr_method: str = "eigh",
+                  scatter_method: str = "scatter") -> jnp.ndarray:
     """SE-Sync-style chordal initialization: the d algebraically-smallest
     eigenvectors of the connection Laplacian (via our LOBPCG), reshaped to
     (n, d, d) blocks and projected onto SO(d)."""
@@ -221,7 +222,7 @@ def spectral_init(data: RotationSyncData, n: int, d: int = 3,
 
     if key is None:
         key = jax.random.PRNGKey(0)
-    L = connection_laplacian_op(data, n, d)
+    L = connection_laplacian_op(data, n, d, scatter_method=scatter_method)
     res = lobpcg(L, m=n * d, nx=min(2 * d + 2, n * d), nev=d,
                  max_iterations=max_iterations, tau=tau, key=key,
                  rr_method=rr_method)
@@ -328,7 +329,8 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
             max_iterations: int = 200, tau: float = 1e-3,
             key=None, operator=None,
             rr_method: str = "eigh",
-            precondition: bool = False) -> CertificateResult:
+            precondition: bool = False,
+            scatter_method: str = "scatter") -> CertificateResult:
     """Global-optimality certificate for a rotation-sync critical point.
 
     The chordal cost satisfies ``f(R) = tr(X' L X)`` with ``X = R.reshape
@@ -380,7 +382,8 @@ def certify(R: jnp.ndarray, data: RotationSyncData, *,
         key = jax.random.PRNGKey(0)
     n, d = R.shape[0], R.shape[1]
     L = (operator if operator is not None
-         else connection_laplacian_op(data, n, d))
+         else connection_laplacian_op(data, n, d,
+                                      scatter_method=scatter_method))
     X = R.reshape(n * d, R.shape[-1])
 
     p = X.shape[-1]
