@@ -77,16 +77,19 @@ def solve_rotations_g2o(src, dst, Mij, n: int, kappa=None,
 
 def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
                          max_iterations: int = 2000, btol: float = 1e-8,
-                         Atol: float = 1e-8):
+                         Atol: float = 1e-8, scatter_method="scatter"):
     """Translation recovery: min_t sum_e w_e |t_j - t_i - R_i t_e|^2.
 
     Solved matrix-free by LSQR over the weighted incidence operator (one
     gather/scatter pair per product — XLA-fused, no matrix is formed).  The
     global-translation gauge is fixed by re-anchoring t[anchor] = 0.
-    Returns ``(t, residual_norm)``.
+    ``scatter_method`` picks the A' accumulation strategy
+    (``models/graph.edge_accumulator``).  Returns ``(t, residual_norm)``.
     """
+    from .graph import edge_accumulator
     n = R.shape[0]
     dt = R.dtype
+    acc = edge_accumulator(src, dst, n, method=scatter_method)
     w = (jnp.sqrt(weights).astype(dt)[:, None] if weights is not None
          else jnp.ones((src.shape[0], 1), dt))
 
@@ -99,8 +102,7 @@ def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
 
     def At(r):
         rw = w * r
-        out = jnp.zeros((n, R.shape[-1]), dt)
-        return out.at[dst].add(rw).at[src].add(-rw)
+        return acc(-rw, rw)
 
     inner = lambda u, v: jnp.sum(u * v)
     res = lsqr(A, At, b, inner, inner, max_iterations=max_iterations,
@@ -675,7 +677,8 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
         cert_x = jnp.swapaxes(R, -1, -2)
 
     t, tres = recover_translations(R, src, dst, tij,
-                                   weights=tau, anchor=anchor)
+                                   weights=tau, anchor=anchor,
+                                   scatter_method=scatter_method)
     cert = None
     if certify:
         # Certify in the transposed (chordal-model) variables on the same
