@@ -445,7 +445,8 @@ def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
                     params: Optional[tnt.TNTParams] = None,
                     gnc_steps: int = 6, mu0: float = 64.0,
                     c2_rot=None, c2_tr=None, anchor: int = 0, key=None,
-                    weight_floor: float = 1e-4) -> "RobustSEResult":
+                    weight_floor: float = 1e-4,
+                    scatter_method: str = "scatter") -> "RobustSEResult":
     """Outlier-robust SE(d) pose synchronization: Geman-McClure graduated
     non-convexity over the *marginalized* single-stage objective, reweighting
     both measurement channels of every edge through their information seams
@@ -528,7 +529,8 @@ def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
     wt = jnp.ones_like(src, dtype=dtype)
     for _ in range(5):
         t, _ = recover_translations(R, src, dst, tij,
-                                    weights=base_tau * wt, anchor=anchor)
+                                    weights=base_tau * wt, anchor=anchor,
+                                    scatter_method=scatter_method)
         r_tr = tr_residuals(R, t)
         c2t_cur = jnp.maximum(jnp.median(r_tr),
                               jnp.asarray(1e-12, dtype))
@@ -554,13 +556,15 @@ def solve_robust_se(src, dst, Mij, tij, n, *, kappa=None, tau=None,
         problem, _, _ = marginalized_problem(
             src, dst, Mij, tij,
             kappa=base_kappa * jnp.maximum(w_rot, floor),
-            tau=base_tau * jnp.maximum(w_tr, floor), n=n)
+            tau=base_tau * jnp.maximum(w_tr, floor), n=n,
+            scatter_method=scatter_method)
         res = tnt.solve(problem, Q, params)
         Q = res.x
         R = jnp.swapaxes(Q, -1, -2)
         t, _ = recover_translations(
             R, src, dst, tij,
-            weights=base_tau * jnp.maximum(w_tr, floor), anchor=anchor)
+            weights=base_tau * jnp.maximum(w_tr, floor), anchor=anchor,
+            scatter_method=scatter_method)
         r_rot = rot_residuals(R)
         r_tr = tr_residuals(R, t)
 
