@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optimization_tpu.models import pose_sync as ps
-from optimization_tpu.models.graph import edge_accumulator
+from optimization_tpu.models.graph import laplacian_apply
 
 N = 10_000
 EXTRA = 20_000
@@ -90,14 +90,13 @@ def main():
     tij = jnp.asarray(rng.standard_normal((E, d)), DT)
     X0 = jnp.asarray(rng.standard_normal((N * d, d)), DT)
 
-    for method in ("scatter", "gather", "sort"):
-        acc = edge_accumulator(src, dst, N, method=method)
+    for method in ("scatter", "gather", "sort", "adjacency"):
+        L = laplacian_apply(src, dst, tau, N, method=method)
 
         @jax.jit
-        def chain_apply(z, acc=acc):
+        def chain_apply(z, L=L):
             def body(i, z):
-                dz = tau[:, None] * (z[dst] - z[src])
-                out = acc(-dz, dz)
+                out = L(z)
                 return out / (1.0 + jnp.max(jnp.abs(out)))
             return jax.lax.fori_loop(0, K_APPLY, body, z)
 

@@ -40,7 +40,7 @@ import numpy as np
 import jax.numpy as jnp
 from jax import ops as jax_ops
 
-__all__ = ["edge_accumulator"]
+__all__ = ["adjacency_tables", "edge_accumulator", "laplacian_apply"]
 
 
 def _padded_table(entries_vert: np.ndarray, n: int, n_slots: int):
@@ -138,3 +138,83 @@ def edge_accumulator(src, dst, n, *, method: str = "scatter",
 
     raise ValueError(f"edge_accumulator: unknown method {method!r} "
                      "(expected 'scatter', 'gather', or 'sort')")
+
+
+def adjacency_tables(src, dst, n):
+    """Host-precomputed padded neighbor tables for *adjacency-form* graph
+    operators (the dense formulation: one neighbor gather + a slot-axis
+    contraction, no scatter and no E-sized intermediate).
+
+    Every edge e=(src,dst) yields two directed slots: one at vertex
+    ``src[e]`` pointing at ``dst[e]`` and one at ``dst[e]`` pointing at
+    ``src[e]``.  Returns ``(nb, eid, fwd, deg_max)``:
+
+    - ``nb``  (n, deg_max) int32 — neighbor vertex id per slot (padding
+      points at vertex ``n``: gather from an array extended by one zero
+      row, or mask by ``eid < E``);
+    - ``eid`` (n, deg_max) int32 — the originating edge id per slot
+      (padding = E), for gathering per-edge weights/blocks;
+    - ``fwd`` (n, deg_max) bool — True where the slot is the edge's
+      forward direction (vertex == src), for direction-dependent blocks
+      (e.g. the connection Laplacian's R vs R');
+    - ``deg_max`` int.
+
+    Self-loops produce two slots at the same vertex (their Laplacian
+    contribution cancels exactly, matching the incidence form).
+    """
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    E = src.shape[0]
+    vert = np.concatenate([src, dst])
+    nbr = np.concatenate([dst, src])
+    eid = np.concatenate([np.arange(E), np.arange(E)])
+    fwd = np.concatenate([np.ones(E, bool), np.zeros(E, bool)])
+
+    order = np.argsort(vert, kind="stable")
+    vert, nbr, eid, fwd = vert[order], nbr[order], eid[order], fwd[order]
+    counts = np.bincount(vert, minlength=n)
+    deg_max = int(counts.max()) if counts.size else 0
+    deg_max = max(deg_max, 1)
+
+    nb_t = np.full((n, deg_max), n, dtype=np.int32)
+    eid_t = np.full((n, deg_max), E, dtype=np.int32)
+    fwd_t = np.zeros((n, deg_max), dtype=bool)
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    within = np.arange(vert.size, dtype=np.int64) - starts[vert]
+    nb_t[vert, within] = nbr.astype(np.int32)
+    eid_t[vert, within] = eid.astype(np.int32)
+    fwd_t[vert, within] = fwd
+    return (jnp.asarray(nb_t), jnp.asarray(eid_t), jnp.asarray(fwd_t),
+            deg_max)
+
+
+def laplacian_apply(src, dst, tau, n, *, method: str = "scatter"):
+    """Build ``L(z) -> (n, k)`` applying the weighted graph Laplacian
+    L = A' diag(tau) A (A = edge incidence) to vertex fields.
+
+    ``method`` in {"scatter", "gather", "sort"} routes the incidence
+    adjoint through :func:`edge_accumulator`; ``"adjacency"`` uses the
+    dense padded-neighbor form  L z = deg*z - sum_s w_s z[nb_s]  — one
+    gather + one slot reduction, no scatter, no E-sized intermediate.
+    """
+    deg = (jnp.zeros((n,), tau.dtype)
+           .at[jnp.asarray(src)].add(tau).at[jnp.asarray(dst)].add(tau))
+
+    if method == "adjacency":
+        nb, eid, _, _ = adjacency_tables(src, dst, n)
+        w_slots = jnp.concatenate([tau, jnp.zeros((1,), tau.dtype)])[eid]
+
+        def L_adj(z):
+            z_ext = jnp.concatenate(
+                [z, jnp.zeros((1,) + z.shape[1:], z.dtype)], 0)
+            return deg[:, None] * z - jnp.sum(
+                w_slots[:, :, None] * z_ext[nb], axis=1)
+        return L_adj
+
+    acc = edge_accumulator(src, dst, n, method=method)
+
+    def L(z):
+        dz = tau[:, None] * (z[jnp.asarray(dst)] - z[jnp.asarray(src)])
+        return acc(-dz, dz)
+    return L

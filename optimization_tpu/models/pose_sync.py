@@ -89,7 +89,10 @@ def recover_translations(R, src, dst, tij, weights=None, *, anchor: int = 0,
     from .graph import edge_accumulator
     n = R.shape[0]
     dt = R.dtype
-    acc = edge_accumulator(src, dst, n, method=scatter_method)
+    acc = edge_accumulator(
+        src, dst, n,
+        method=("gather" if scatter_method == "adjacency"
+                else scatter_method))
     w = (jnp.sqrt(weights).astype(dt)[:, None] if weights is not None
          else jnp.ones((src.shape[0], 1), dt))
 
@@ -160,14 +163,16 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
     ``with_iters=True`` makes the returned solve give ``(z, k)`` (iteration
     count, for preconditioner benchmarking) instead of ``z``.
 
-    ``scatter_method`` selects the edge->vertex accumulation strategy of
-    the L apply (``models/graph.edge_accumulator``): ``"scatter"`` (the
-    baseline ``.at[].add()``), ``"gather"`` (padded incidence table — no
-    scatter at all), or ``"sort"`` (sorted ``segment_sum``).  Non-scatter
-    methods need concrete ``src``/``dst`` (host-side table construction).
+    ``scatter_method`` selects the L-apply strategy
+    (``models/graph.laplacian_apply``): ``"scatter"`` (the baseline
+    ``.at[].add()`` incidence adjoint), ``"gather"`` (padded incidence
+    table — no scatter), ``"sort"`` (sorted ``segment_sum``), or
+    ``"adjacency"`` (dense padded-neighbor form — one gather + slot
+    reduction, no E-sized intermediate).  Non-scatter methods need
+    concrete ``src``/``dst`` (host-side table construction).
     """
-    from .graph import edge_accumulator
-    acc = edge_accumulator(src, dst, n, method=scatter_method)
+    from .graph import laplacian_apply
+    L = laplacian_apply(src, dst, tau, n, method=scatter_method)
     deg = (jnp.zeros((n,), tau.dtype)
            .at[src].add(tau).at[dst].add(tau))
     inv_deg = 1.0 / jnp.maximum(deg, jnp.finfo(tau.dtype).tiny)
@@ -193,9 +198,7 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
 
             def A0(v):
                 z = inv_dsq[:, None] * v.reshape(-1, k)
-                dz = tau[:, None] * (z[dst] - z[src])
-                out = acc(-dz, dz)
-                return (inv_dsq[:, None] * out).reshape(-1)
+                return (inv_dsq[:, None] * L(z)).reshape(-1)
 
             ecols = tuple(
                 jnp.zeros((e.shape[0], k), e.dtype).at[:, c].set(e).reshape(-1)
@@ -212,10 +215,6 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
             return z
 
         return solve_flat
-
-    def L(z):
-        dz = tau[:, None] * (z[dst] - z[src])
-        return acc(-dz, dz)
 
     def M(res):
         if not jacobi:
@@ -298,8 +297,12 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
     sqw = jnp.sqrt(tau)
 
     from .graph import edge_accumulator
-    acc_inc = edge_accumulator(src, dst, n, method=scatter_method)
-    acc_src = edge_accumulator(src, dst, n, method=scatter_method,
+    # "adjacency" is a Laplacian-apply strategy; the incidence adjoints
+    # A' and B' (per-edge contributions, not vertex fields) take its
+    # scatter-free analog, the padded-incidence gather.
+    acc_method = "gather" if scatter_method == "adjacency" else scatter_method
+    acc_inc = edge_accumulator(src, dst, n, method=acc_method)
+    acc_src = edge_accumulator(src, dst, n, method=acc_method,
                                sides=("src",))
 
     rot_data = _transposed_rotation_data(src, dst, Mij, kappa)

@@ -188,15 +188,42 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int,
     SE-Sync chordal initialization.
 
     ``scatter_method`` picks the edge->vertex accumulation strategy
-    (``models/graph.edge_accumulator``); non-``"scatter"`` methods need
-    concrete (untraced) ``data.src``/``data.dst``.
+    (``models/graph.edge_accumulator``), or ``"adjacency"`` — the dense
+    padded-neighbor form: the weighted (transposed-where-reversed)
+    measurement blocks are gathered per vertex slot ONCE at construction,
+    and every apply is one neighbor gather + one (n, slots, d, d) x
+    (n, slots, d, k) block contraction — no scatter, no E-sized
+    intermediate.  Non-``"scatter"`` methods need concrete (untraced)
+    ``data.src``/``data.dst``.
     """
-    from .graph import edge_accumulator
-    acc = edge_accumulator(data.src, data.dst, n, method=scatter_method)
     w = (data.kappa if data.kappa is not None
          else jnp.ones_like(data.src, dtype=data.Rij.dtype))
     deg = (jnp.zeros((n,), data.Rij.dtype)
            .at[data.src].add(w).at[data.dst].add(w))
+
+    if scatter_method == "adjacency":
+        from .graph import adjacency_tables
+        nb, eid, fwd, _ = adjacency_tables(data.src, data.dst, n)
+        zero_blk = jnp.zeros((1, d, d), data.Rij.dtype)
+        R_slots = jnp.concatenate([data.Rij, zero_blk], 0)[eid]
+        R_slots = jnp.where(fwd[:, :, None, None], R_slots,
+                            jnp.swapaxes(R_slots, -1, -2))
+        w_slots = jnp.concatenate([w, jnp.zeros((1,), w.dtype)])[eid]
+        blocks = w_slots[:, :, None, None] * R_slots    # (n, slots, d, d)
+
+        def L(S):
+            k = S.shape[-1]
+            X = S.reshape(n, d, k)
+            X_ext = jnp.concatenate(
+                [X, jnp.zeros((1, d, k), X.dtype)], 0)
+            nbr = jnp.einsum("nsij,nsjk->nik", blocks, X_ext[nb],
+                             precision=jax.lax.Precision.HIGHEST)
+            return (deg[:, None, None] * X - nbr).reshape(n * d, k)
+
+        return L
+
+    from .graph import edge_accumulator
+    acc = edge_accumulator(data.src, data.dst, n, method=scatter_method)
 
     def L(S):
         k = S.shape[-1]

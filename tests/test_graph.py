@@ -91,7 +91,7 @@ def test_jit_and_grad_safe():
     np.testing.assert_allclose(g, g_ref, rtol=1e-10, atol=1e-12)
 
 
-@pytest.mark.parametrize("method", ["gather", "sort"])
+@pytest.mark.parametrize("method", ["gather", "sort", "adjacency"])
 def test_marginalized_problem_parity(method):
     """f / grad / Hv of the marginalized SE-Sync objective are identical
     across accumulation strategies (f64)."""
@@ -132,7 +132,7 @@ def test_marginalized_problem_parity(method):
     np.testing.assert_allclose(Q_a(X), Q_b(X), rtol=1e-8, atol=1e-10)
 
 
-@pytest.mark.parametrize("method", ["gather", "sort"])
+@pytest.mark.parametrize("method", ["gather", "sort", "adjacency"])
 def test_connection_laplacian_parity(method):
     from optimization_tpu.models import rotation_sync as rs
 
@@ -145,3 +145,24 @@ def test_connection_laplacian_parity(method):
     X = jnp.asarray(
         np.random.default_rng(2).standard_normal((n * d, 4)))
     np.testing.assert_allclose(La(X), Lb(X), rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize("method", ["gather", "sort", "adjacency"])
+def test_laplacian_apply_parity(method):
+    """laplacian_apply strategies agree with the scatter incidence form,
+    including self-loops (which contribute exactly zero)."""
+    from optimization_tpu.models.graph import laplacian_apply
+
+    n, E = 17, 40
+    src, dst = _random_graph(21, n, E)
+    rng = np.random.default_rng(22)
+    tau = jnp.asarray(rng.uniform(0.5, 2.0, E))
+    z = jnp.asarray(rng.standard_normal((n, 3)))
+    ref = laplacian_apply(src, dst, tau, n)(z)
+    out = laplacian_apply(src, dst, tau, n, method=method)(z)
+    np.testing.assert_allclose(out, ref, rtol=1e-12, atol=1e-12)
+    # Laplacian invariant: constant fields are in the kernel
+    ones = jnp.ones((n, 2))
+    np.testing.assert_allclose(
+        laplacian_apply(src, dst, tau, n, method=method)(ones), 0.0,
+        atol=1e-10)
