@@ -35,6 +35,7 @@ from ..core.problem import LeastSquaresProblem
 from ..core.tree import tree_axpy, tree_neg, tree_where
 from ..core.types import SmoothOptimizerParams, TNLSStatus
 from ..linalg.lsqr import lsqr
+from .tnt import step_decision
 
 __all__ = ["TNLSParams", "TNLSResult", "solve"]
 
@@ -234,7 +235,10 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
         df2 = st.Fx_sq - Fx_prop_sq
         relative_decrease = dL / (sqrt_eps + st.Fx_norm)
         rho = df2 / dq
-        accepted = ~jnp.isnan(rho) & (rho > params.eta1)
+        # dq <= 0 is a numerical failure flag treated like a NaN rho
+        # (reject + shrink) — see solvers/tnt.py:step_decision.
+        accepted, very_successful, unsuccessful = step_decision(
+            rho, dq, params.eta1, params.eta2)
 
         if user_function is not None:
             user_stop = jnp.asarray(user_function(
@@ -261,8 +265,6 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
                           TNLSStatus.RUNNING.value))).astype(jnp.int32)
 
         # Trust-region radius update (same scheme as TNT; TNLS.h:643-657)
-        very_successful = ~jnp.isnan(rho) & (rho >= params.eta2)
-        unsuccessful = jnp.isnan(rho) | (rho < params.eta1)
         Delta_new = jnp.where(
             very_successful,
             jnp.maximum(params.alpha2 * h_M_norm, st.Delta),

@@ -149,6 +149,29 @@ class _State(NamedTuple):
     aux: Optional[Any]
 
 
+def step_decision(rho, dm, eta1, eta2):
+    """Trust-region step decision ``(accepted, very_successful,
+    unsuccessful)`` from the gain ratio and the model decrease.
+
+    Reference semantics (``TNT.h:511-532,590-603``): accept iff
+    ``!isnan(rho) && rho > eta1``; a NaN rho rejects and shrinks.  One
+    TPU-native extension: ``dm > 0`` is guaranteed for an exact-arithmetic
+    STPCG/LSQR step, so a non-positive model decrease is a numerical
+    failure flag treated exactly like a NaN rho.  The reference's f64
+    arithmetic never trips the hole; in f32, ``df < 0`` with ``dm < 0``
+    yields a large POSITIVE rho and, unguarded, accepts an
+    objective-increasing step (observed: 10^4-pose marginalized SE-Sync,
+    1000 capped inner CG iterations, rho = +7e4, |grad| 7e-3 -> 1.9e2).
+    Shared by TNT and TNLS (there ``dm`` is the Gauss-Newton model
+    decrease ``dq``; ``TNLS.h:562-594``).
+    """
+    model_ok = dm > 0
+    accepted = ~jnp.isnan(rho) & (rho > eta1) & model_ok
+    very_successful = ~jnp.isnan(rho) & (rho >= eta2) & model_ok
+    unsuccessful = jnp.isnan(rho) | (rho < eta1) | ~model_ok
+    return accepted, very_successful, unsuccessful
+
+
 def solve(
     problem: RiemannianProblem,
     x0: Any,
@@ -320,7 +343,8 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         df = fx - fx_prop
         relative_decrease = df / (sqrt_eps + jnp.abs(fx))
         rho = df / dm
-        accepted = ~jnp.isnan(rho) & (rho > params.eta1)
+        accepted, very_successful, unsuccessful = step_decision(
+            rho, dm, params.eta1, params.eta2)
 
         if user_function is not None:
             user_stop = jnp.asarray(user_function(
@@ -358,8 +382,6 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
 
         # STEP 4: trust-region radius update (reference TNT.h:590-603);
         # skipped when a stopping criterion already fired this iteration.
-        very_successful = ~jnp.isnan(rho) & (rho >= params.eta2)
-        unsuccessful = jnp.isnan(rho) | (rho < params.eta1)
         Delta_new = jnp.where(
             very_successful,
             jnp.maximum(params.alpha2 * h_M_norm, st.Delta),

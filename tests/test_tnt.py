@@ -267,3 +267,41 @@ def test_bf16_storage_f32_accumulate():
     # and the iterate is still (numerically) on the sphere
     nrm = float(jnp.linalg.norm(res.x.astype(jnp.float32)))
     assert abs(nrm - 1.0) < 0.01
+
+
+def test_step_decision_rejects_nonpositive_model_decrease():
+    """A non-positive model decrease must be treated like a NaN gain ratio
+    (reject + shrink), even when rho itself is large and positive.
+
+    This is the f32 failure observed on the 10^4-pose marginalized SE-Sync
+    run: after 1000 capped inner CG iterations the recurrence-tracked dm
+    went NEGATIVE while the step genuinely increased f (df < 0), so
+    rho = df/dm = +7e4 passed the reference's "rho > eta1" test
+    (``TNT.h:511-532``) and an objective-increasing step was accepted.
+    """
+    eta1, eta2 = 0.05, 0.9
+
+    # The observed failure: df < 0, dm < 0 => rho large positive.
+    rho = jnp.asarray((-0.07) / (-1e-6))        # +7e4
+    acc, very, unsucc = tnt.step_decision(rho, jnp.asarray(-1e-6),
+                                          eta1, eta2)
+    assert not bool(acc) and not bool(very) and bool(unsucc)
+
+    # dm == 0 (zero-iteration subproblem) is also a rejection.
+    acc, very, unsucc = tnt.step_decision(jnp.asarray(jnp.nan),
+                                          jnp.asarray(0.0), eta1, eta2)
+    assert not bool(acc) and bool(unsucc)
+
+    # Healthy cases keep reference semantics.
+    acc, very, unsucc = tnt.step_decision(jnp.asarray(1.0),
+                                          jnp.asarray(1e-6), eta1, eta2)
+    assert bool(acc) and bool(very) and not bool(unsucc)
+    acc, very, unsucc = tnt.step_decision(jnp.asarray(0.5),
+                                          jnp.asarray(1e-6), eta1, eta2)
+    assert bool(acc) and not bool(very) and not bool(unsucc)
+    acc, very, unsucc = tnt.step_decision(jnp.asarray(0.01),
+                                          jnp.asarray(1e-6), eta1, eta2)
+    assert not bool(acc) and bool(unsucc)
+    acc, very, unsucc = tnt.step_decision(jnp.asarray(jnp.nan),
+                                          jnp.asarray(1e-6), eta1, eta2)
+    assert not bool(acc) and bool(unsucc)
