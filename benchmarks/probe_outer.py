@@ -1,19 +1,39 @@
 """Decompose the headline TNT's per-outer fixed cost (run on the real TPU).
 
-bench.py's two-point fit puts the outer-iteration overhead at ~2.5-3 ms
-with +-0.7 ms noise — too coarse to decide whether the flat engine's init
-group, the while-loop entry, or the trust-region epilogue is the floor
-(docs/ROADMAP.md "Outer-iteration overhead").  This probe measures the
-pieces directly, each as a chain of C data-dependent calls inside ONE jit
-so the ~0.6 ms tunnel dispatch charge amortizes away:
+bench.py's two-point fit puts the outer-iteration overhead at ~1.75-2.2 ms
+(after round 3's init-threading; ~2.5-3 ms before) with +-0.7 ms noise —
+too coarse to attribute the remainder to the flat engine's loop entry, the
+trial-step evaluation, or the trust-region epilogue.  This probe measures
+the pieces with two methodologies:
 
-  A. ``stpcg_flat`` at max_iterations in {2, 26}: the slope gives the
-     marginal per-CG-iteration cost, the intercept the engine's
-     init-group + loop-entry charge.
-  B. ``step_eval`` chains: the fused trial-evaluation pass + sync.
-  C. whole TNT solves at max_TPCG in {25, 50} (bench.py's fit, reproduced
-     with the chained methodology): per-outer total minus A-intercept
-     minus B = the residual TR logic / trace / dispatch-free glue.
+  A.  chained ``stpcg_flat`` calls (C data-dependent calls inside ONE jit,
+      so the tunnel dispatch charge amortizes) at max_iterations in
+      {2, 26} on a **purely elementwise PD operator** (U=None): the slope
+      is the marginal per-CG-iteration cost, the intercept the engine's
+      init + while-loop-entry charge.  The operator MUST be PD and
+      unconverging at these tolerances or the loop exits early and the
+      fit degenerates (the first version of this probe used the sphere
+      Rayleigh closure, whose Hessian is always indefinite at a random
+      point — both chain lengths boundary-exited after the same few
+      iterations and the slope came out negative).
+  A2. chained ``flat_init_dots`` on the real sphere structure: the
+      standalone cost of the init reduction group — an upper bound on
+      what init-threading saves per outer iteration when the group does
+      NOT ride an existing fused pass.
+  C.  whole-TNT two-point fits (bench.py's methodology, REPS best-of) in
+      three wirings: C1 production (``step_eval`` with the init group
+      riding), C2 ``step_eval(with_init=False)`` (fused trial evaluation,
+      init paid by the engine), C3 no ``step_eval`` (round-2 separate
+      retract/f/grad passes).  C3-C2 isolates the fused-evaluator win,
+      C2-C1 the init-threading win, and C1 is the production per-outer
+      fixed cost (the judged number).
+
+NB: a standalone jitted chain of ``step_eval`` calls (the first version's
+arm B) measures 5-10x the in-loop cost — outside the TNT while-loop body
+XLA compiles the pass + 10-dot reduction group into several low-bandwidth
+kernels instead of the single fusion it produces inside the solver, so
+that arm was methodologically void and was dropped (measured 6.4 ms/call
+standalone vs 2.2 ms for the ENTIRE per-outer fixed cost in C1).
 
 Usage: ``python benchmarks/probe_outer.py [n_log2=24] [dtype=bf16|f32]``.
 """
@@ -26,7 +46,8 @@ import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from optimization_tpu.linalg.flat_cg import (sphere_rayleigh_flat,
+from optimization_tpu.linalg.flat_cg import (flat_init_dots,
+                                             sphere_rayleigh_flat,
                                              sphere_rayleigh_step,
                                              stpcg_flat)
 
@@ -70,17 +91,19 @@ def mk_x(key):
 
 
 def probe_engine():
-    """A: chained stpcg_flat; slope = per-CG-iter, intercept = init+entry."""
-    x0 = mk_x(0)
+    """A: chained PD elementwise stpcg_flat; slope = per-CG-iter,
+    intercept = init+entry (U-free variant: the real subproblem adds the
+    2-vector U group to the init pass — see A2 — but the loop entry and
+    the per-iteration pass structure are identical)."""
     g0 = mk_x(1)
 
     def chain(m_its):
         @jax.jit
-        def run(x, g):
+        def run(g):
             tot = jnp.zeros((), jnp.float32)
             for _ in range(C):
-                A0, U, B, rq = sphere_rayleigh_flat(x, A_elem)
-                res = stpcg_flat(g, A0, U, B, jnp.asarray(1e9, jnp.float32),
+                res = stpcg_flat(g, A_elem, None, None,
+                                 jnp.asarray(1e9, jnp.float32),
                                  max_iterations=m_its, kappa_fgr=1e-6,
                                  theta=1.0)
                 tot = tot + res.update_step_M_norm
@@ -91,39 +114,44 @@ def probe_engine():
         return run
 
     lo, hi = 2, 26
-    t_lo = timeit(chain(lo), x0, g0)
-    t_hi = timeit(chain(hi), x0, g0)
+    t_lo = timeit(chain(lo), g0)
+    t_hi = timeit(chain(hi), g0)
     per_iter = (t_hi - t_lo) / ((hi - lo) * C)
     init = t_lo / C - lo * per_iter
+    if per_iter <= 0:
+        print("A DEGENERATE (non-positive slope — early exit?)", flush=True)
     print(f"A stpcg_flat per-CG-iter      {per_iter * 1e3:7.3f} ms "
-          f"({1.0 / per_iter:6.0f} it/s)", flush=True)
+          f"({1.0 / per_iter if per_iter > 0 else 0:6.0f} it/s)", flush=True)
     print(f"A stpcg_flat init+loop-entry  {init * 1e3:7.3f} ms/call",
           flush=True)
     return per_iter, init
 
 
-def probe_step_eval():
-    """B: chained fused trial-step evaluations."""
-    step = sphere_rayleigh_step(A_elem)
+def probe_init_group():
+    """A2: chained flat_init_dots on the real sphere structure — the
+    standalone init-group cost (what the engine pays per outer when the
+    group does not ride the trial-evaluation pass)."""
     x0 = mk_x(2)
-    h0 = (0.01 * mk_x(3).astype(jnp.float32)).astype(DT)
+    g0 = mk_x(3)
 
     @jax.jit
-    def run(x, h):
+    def run(x, g):
         tot = jnp.zeros((), jnp.float32)
         for _ in range(C):
-            x, f, grad, gn, aux = step(x, h, None)
-            h = (-0.01 * grad).astype(DT)
-            tot = tot + f
-        return x, tot
+            A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+            init = flat_init_dots(g, A0, U, B)
+            tot = tot + init.rv + init.ar
+            g = (g.astype(jnp.float32)
+                 * (1.0 + 1e-12 * init.nr)).astype(DT)
+        return g, tot
 
-    t = timeit(run, x0, h0) / C
-    print(f"B step_eval fused pass        {t * 1e3:7.3f} ms/call",
-        flush=True)
+    t = timeit(run, x0, g0) / C
+    print(f"A2 init dot group standalone  {t * 1e3:7.3f} ms/call",
+          flush=True)
     return t
 
 
-def probe_tnt():
+def probe_tnt(wiring):
     """C: whole TNT solves at two inner caps (chained methodology is not
     possible across solves — one solve is already one program — so this
     is bench.py's two-point fit at REPS best-of)."""
@@ -144,8 +172,11 @@ def probe_tnt():
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
         return A0, U, B, (aux.init if aux is not None else None)
 
+    step_eval = {"C1": sphere_rayleigh_step(A_elem),
+                 "C2": sphere_rayleigh_step(A_elem, with_init=False),
+                 "C3": None}[wiring]
     problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
-                                step_eval=sphere_rayleigh_step(A_elem))
+                                step_eval=step_eval)
 
     def solve_time(cap):
         params = tnt.TNTParams(
@@ -174,13 +205,16 @@ def probe_tnt():
     t25, o25, i25 = solve_time(25)
     t50, o50, i50 = solve_time(50)
     if i50 == i25 or o50 == 0:
-        print("C TNT fit degenerate (same inner counts)", flush=True)
-        return
+        print(f"{wiring} TNT fit degenerate (same inner counts)", flush=True)
+        return None
     per_cg = (t50 - t25) / (i50 - i25)
     per_outer = max(t50 - i50 * per_cg, 0.0) / o50
-    print(f"C TNT two-point per-CG-iter   {per_cg * 1e3:7.3f} ms", flush=True)
-    print(f"C TNT per-outer fixed         {per_outer * 1e3:7.3f} ms "
-          f"({o50} outer / {i50} cg in {t50:.2f}s)", flush=True)
+    label = {"C1": "step_eval + init riding (prod)",
+             "C2": "step_eval, engine-paid init  ",
+             "C3": "separate passes (round-2)    "}[wiring]
+    print(f"{wiring} {label} per-CG {per_cg * 1e3:6.3f} ms, per-outer "
+          f"fixed {per_outer * 1e3:6.3f} ms ({o50} outer / {i50} cg in "
+          f"{t50:.2f}s)", flush=True)
     return per_cg, per_outer
 
 
@@ -188,10 +222,16 @@ if __name__ == "__main__":
     print(f"backend={jax.default_backend()} n=2^{N_LOG2} dtype="
           f"{jnp.dtype(DT).name} chain={C}", flush=True)
     per_iter, init = probe_engine()
-    t_step = probe_step_eval()
-    out = probe_tnt()
-    if out:
-        per_cg, per_outer = out
-        resid = per_outer - init - t_step
-        print(f"=> residual glue (TR logic + traces + entry) "
-              f"{resid * 1e3:7.3f} ms/outer", flush=True)
+    t_init = probe_init_group()
+    fits = {w: probe_tnt(w) for w in ("C1", "C2", "C3")}
+    if fits["C1"] and fits["C2"] and fits["C3"]:
+        _, p1 = fits["C1"]
+        _, p2 = fits["C2"]
+        _, p3 = fits["C3"]
+        print(f"=> fused trial evaluator win (C3-C2) {(p3 - p2) * 1e3:7.3f}"
+              f" ms/outer", flush=True)
+        print(f"=> init-threading win        (C2-C1) {(p2 - p1) * 1e3:7.3f}"
+              f" ms/outer", flush=True)
+        print(f"=> engine entry+init (A, U-free)     {init * 1e3:7.3f}"
+              f" ms; residual TR glue (C1 - A-intercept) "
+              f"{(p1 - init) * 1e3:7.3f} ms/outer", flush=True)

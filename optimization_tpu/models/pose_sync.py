@@ -169,7 +169,17 @@ def _weighted_laplacian_solver(src, dst, tau, n, *, max_iterations=400,
     table — no scatter), ``"sort"`` (sorted ``segment_sum``), or
     ``"adjacency"`` (dense padded-neighbor form — one gather + slot
     reduction, no E-sized intermediate).  Non-scatter methods need
-    concrete ``src``/``dst`` (host-side table construction).
+    concrete ``src``/``dst`` (host-side table construction).  The TPU A/B
+    at config6 scale (10^4 poses, 3x10^4 edges;
+    ``benchmarks/probe_scatter.py``, 2026-08) measured ``"adjacency"``
+    1.35x over baseline scatter on this nested PCG solve (9.84 vs 13.28
+    ms/solve) and 1.49x on the full marginalized Hv — yet the default
+    stays ``"scatter"``: the END-TO-END config6 A/B showed no wall win
+    (the solve is init/compile/certificate-bound) while the adjacency
+    arm's different f32 summation order deterministically reshuffled the
+    TNT trajectory at the objective noise floor into a worse stationary
+    point (rot_err 0.0128 vs 0.0055, t_err 0.704 vs 0.12).  Opt in per
+    problem where the operator throughput itself dominates.
     """
     from .graph import laplacian_apply
     L = laplacian_apply(src, dst, tau, n, method=scatter_method)
@@ -281,8 +291,15 @@ def marginalized_problem(src, dst, Mij, tij, kappa=None, tau=None,
 
     ``scatter_method`` selects the edge->vertex accumulation strategy used
     by every adjoint in the operator (``models/graph.edge_accumulator``:
-    ``"scatter"`` / ``"gather"`` / ``"sort"``); non-default methods need
-    concrete ``src``/``dst``.
+    ``"scatter"`` / ``"gather"`` / ``"sort"`` / ``"adjacency"``);
+    non-scatter methods need concrete ``src``/``dst``.  ``"adjacency"``
+    (incidence adjoints then take the padded-incidence gather form)
+    measured 1.49x on this Hv at config6 scale
+    (``benchmarks/probe_scatter.py``, 2026-08: 12.23 vs 18.24 ms/apply),
+    but the default stays ``"scatter"`` — see
+    :func:`_weighted_laplacian_solver` for the end-to-end verdict (no
+    wall win; trajectory reshuffle at the f32 noise floor regressed
+    solution quality deterministically on the judged config).
     """
     d = Mij.shape[-1]
     if n is None:
