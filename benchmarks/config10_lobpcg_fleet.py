@@ -15,14 +15,17 @@ dtype floor), against the single-instance sustained rate at the same
 the unit string carries the per-instance serial rate and the fleet
 speedup.
 
-Measured floor (round 3, TPU v5e): single instance 2017 it/s (0.50 ms /
-three-block iteration), 16-fleet aggregate 3683 it/s (4.3 ms /lockstep
-iteration) = 1.8x of the 16x ideal.  The lockstep iteration is bound by
-the two vmapped (3nx x 3nx) QDWH eighs — batched small eigh on this
-runtime costs ~8x a single one — NOT by dispatch/GEMM latency (the
-fleet's GEMM/memory work is ~23 us x 16 per iteration).  So fleet
-batching pays ~2x on certification/init sweeps today; a fused in-kernel
-Jacobi Rayleigh-Ritz is the identified next lever (docs/ROADMAP.md).
+Measured (round 3, TPU v5e): with the fleet-default shifted-Cholesky
+Rayleigh-Ritz (``rr_method="chol"``, one eigh per iteration) the
+16-fleet sustains **6057 aggregate it/s** (3.12-4.2 ms/lockstep
+iteration) vs ~1155-2017 it/s single-instance serial — a 3.0-5.2x fleet
+win depending on the serial arm's run-to-run dispatch jitter.  The
+QDWH-eigh RR arm measured 3683 aggregate (4.69 ms/lockstep) and batched
+parallel-Jacobi 826 (both kept as opt-ins; A/B in
+benchmarks/probe_jacobi.py, 2026-08-18, with chol also the most
+accurate converged arm at 1.9e-05 max rel err).  The remaining lockstep
+floor is the batched (3nx x 3nx) eigh — batched small eigh costs ~8x a
+single one on this runtime — NOT dispatch/GEMM latency.
 
 vs_baseline = (fleet aggregate) / (1.5x the serial rate): >= 1.0 means
 the fleet path beats solving the instances serially by at least 1.5x,

@@ -554,6 +554,14 @@ def lobpcg_fleet(
     keep refining — their returned pairs are at least as converged as a
     standalone solve's, and ``num_iterations`` reports the lockstep count.
 
+    The fleet default is ``rr_method="chol"`` (one eigh per iteration via
+    shifted-Cholesky whitening): the in-fleet TPU A/B
+    (benchmarks/probe_jacobi.py, 16x m=1e4, 2026-08) measured 3.12
+    ms/lockstep-iteration (5127 aggregate it/s) vs 4.69 ms (3412) for the
+    QDWH-eigh RR and 19.4 ms for batched parallel-Jacobi, with the chol
+    arm also the most accurate converged (1.9e-05 max rel err,
+    pencil-consistent).
+
     Returns an :class:`LOBPCGResult` whose fields carry a leading fleet
     axis (``warm_start`` is batched too and resumes through
     ``lobpcg``-under-vmap).
