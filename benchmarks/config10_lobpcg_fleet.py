@@ -15,15 +15,19 @@ dtype floor), against the single-instance sustained rate at the same
 the unit string carries the per-instance serial rate and the fleet
 speedup.
 
-Measured (round 3, TPU v5e): with the fleet-default shifted-Cholesky
-Rayleigh-Ritz (``rr_method="chol"``, one eigh per iteration) the
-16-fleet sustains **6057 aggregate it/s** (3.12-4.2 ms/lockstep
-iteration) vs ~1155-2017 it/s single-instance serial — a 3.0-5.2x fleet
-win depending on the serial arm's run-to-run dispatch jitter.  The
-QDWH-eigh RR arm measured 3683 aggregate (4.69 ms/lockstep) and batched
-parallel-Jacobi 826 (both kept as opt-ins; A/B in
-benchmarks/probe_jacobi.py, 2026-08-18, with chol also the most
-accurate converged arm at 1.9e-05 max rel err).  The remaining lockstep
+Measured (round 3, TPU v5e, tunnel-charge-free two-point slopes): with
+the fleet-default shifted-Cholesky Rayleigh-Ritz (``rr_method="chol"``,
+one eigh per iteration) the 16-fleet sustains ~6500 aggregate it/s
+(~2.5 ms/lockstep iteration) vs ~3700 it/s single-instance serial
+device time — a ~1.8x device-time fleet win, PLUS collapsing 16
+per-solve host-dispatch charges to 1 (worth 16 x ~26-50 ms/sweep on the
+current tunnel, often more than the device time itself).  Earlier
+single-call figures (3683 aggregate / 1155-2017 serial and a claimed
+3-5x) were tunnel-charge-contaminated — the charge understates the fast
+serial arm far more than the slow fleet call.  In-fleet RR A/B
+(benchmarks/probe_jacobi.py, 2026-08-18): chol beats QDWH-eigh RR
+~1.65x charge-free and is the most accurate converged arm (1.9e-05 max
+rel err); batched parallel-Jacobi loses ~7x.  The remaining lockstep
 floor is the batched (3nx x 3nx) eigh — batched small eigh costs ~8x a
 single one on this runtime — NOT dispatch/GEMM latency.
 
@@ -69,33 +73,51 @@ def main():
     ok = (err < 1e-3 and bool(jnp.all(res.num_converged >= nev))
           and bool(jnp.all(res.pencil_consistent)))
 
-    # sustained lockstep rate, convergence disarmed
-    @jax.jit
-    def sustained_fleet():
-        return lobpcg_fleet(A, ds, T=T, m=m, nx=nx, nev=nev,
-                            max_iterations=K, tau=1e-30,
-                            key=jax.random.PRNGKey(5))
+    # Sustained lockstep rate, convergence disarmed.  TWO-POINT SLOPE over
+    # lockstep counts (K, 10K): the tunnel charges ~26-50 ms (NOISY,
+    # +-30 ms rep-to-rep) per host-synchronized dispatch (post-outage
+    # 2026-08-18; docs/ROADMAP.md measurement caveat); the slope cancels
+    # the mean charge and the >=1 s work spread dominates its variance.
+    K_hi = 10 * K
 
-    jax.block_until_ready(sustained_fleet().X)
-    dt_fleet = timeit(lambda: sustained_fleet().X, iters=3)
-    aggregate = fleet * K / dt_fleet
+    def mk_fleet(k):
+        @jax.jit
+        def sustained_fleet():
+            return lobpcg_fleet(A, ds, T=T, m=m, nx=nx, nev=nev,
+                                max_iterations=k, tau=1e-30,
+                                key=jax.random.PRNGKey(5))
+        return sustained_fleet
+
+    f_lo, f_hi = mk_fleet(K), mk_fleet(K_hi)
+    jax.block_until_ready(f_lo().X)
+    jax.block_until_ready(f_hi().X)
+    per_lockstep = (timeit(lambda: f_hi().X, iters=3)
+                    - timeit(lambda: f_lo().X, iters=3)) / (K_hi - K)
+    aggregate = fleet / per_lockstep if per_lockstep > 0 else 0.0
 
     d0 = ds[0]
 
-    @jax.jit
-    def sustained_one():
-        return lobpcg(lambda S: d0[:, None] * S, T=lambda S: S / d0[:, None],
-                      m=m, nx=nx, nev=nev, max_iterations=K, tau=1e-30,
-                      key=jax.random.PRNGKey(5))
+    def mk_one(k):
+        @jax.jit
+        def sustained_one():
+            return lobpcg(lambda S: d0[:, None] * S,
+                          T=lambda S: S / d0[:, None],
+                          m=m, nx=nx, nev=nev, max_iterations=k, tau=1e-30,
+                          key=jax.random.PRNGKey(5))
+        return sustained_one
 
-    jax.block_until_ready(sustained_one().X)
-    dt_one = timeit(lambda: sustained_one().X, iters=3)
-    serial = K / dt_one
+    o_lo, o_hi = mk_one(K), mk_one(K_hi)
+    jax.block_until_ready(o_lo().X)
+    jax.block_until_ready(o_hi().X)
+    per_one = (timeit(lambda: o_hi().X, iters=3)
+               - timeit(lambda: o_lo().X, iters=3)) / (K_hi - K)
+    serial = 1.0 / per_one if per_one > 0 else 0.0
 
     speedup = aggregate / serial if serial > 0 else 0.0
     emit("lobpcg_fleet16_aggregate_iters_per_s", aggregate,
          f"aggregate block iters/s, {fleet}-instance vmapped fleet "
-         f"(m={m}, nx={nx}, nev={nev}, K={K} lockstep); per-instance fused "
+         f"(m={m}, nx={nx}, nev={nev}; two-point slope over K={K}..{K_hi} "
+         f"lockstep, tunnel-charge-free); per-instance fused "
          f"rate {aggregate / fleet:.0f}/s vs serial single-instance "
          f"{serial:.0f}/s -> fleet speedup {speedup:.1f}x of {fleet}x "
          f"ideal; converged parity: max rel err {err:.1e}, "

@@ -5,6 +5,12 @@ Round-3 question: config10's lockstep iteration is bound by its two batched
 parallel-Jacobi batched solver (linalg/jacobi.py) beat batched QDWH inside
 the real fleet iteration?  Measures the sustained 16-instance fleet rate
 (convergence disarmed) and a converged-accuracy parity check for both.
+
+Methodology caveat (2026-08-18): these are single-call K=50 timings, so
+each carries the tunnel's fixed per-synchronized-dispatch charge (~26-50
+ms -> ~1 ms per reported lockstep iteration) on top of device time; the
+RELATIVE ranking is unaffected (all arms pay it equally), but for
+absolute rates use config10's two-point slopes (tunnel-charge-free).
 """
 
 import sys

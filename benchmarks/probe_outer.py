@@ -28,12 +28,13 @@ the pieces with two methodologies:
       C2-C1 the init-threading win, and C1 is the production per-outer
       fixed cost (the judged number).
 
-NB: a standalone jitted chain of ``step_eval`` calls (the first version's
-arm B) measures 5-10x the in-loop cost — outside the TNT while-loop body
-XLA compiles the pass + 10-dot reduction group into several low-bandwidth
-kernels instead of the single fusion it produces inside the solver, so
-that arm was methodologically void and was dropped (measured 6.4 ms/call
-standalone vs 2.2 ms for the ENTIRE per-outer fixed cost in C1).
+NB: intercepts and standalone per-call figures (A's init+entry, A2, the
+dropped arm B's 6.4 ms/call) are contaminated by the tunnel's per-
+synchronized-dispatch charge — ~26-50 ms post-outage (2026-08-18; it was
+~0.6 ms in round 2), which a C=8 chain spreads to ~6.8 ms/call of pure
+charge.  Only the SLOPES (A's per-CG-iteration) and the whole-solve
+two-point fits (C arms, identical charge in both points) are valid;
+treat every intercept printed here as charge + real cost.
 
 Usage: ``python benchmarks/probe_outer.py [n_log2=24] [dtype=bf16|f32]``.
 """

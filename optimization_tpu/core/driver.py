@@ -21,6 +21,13 @@ Granularity of host facilities is the chunk: ``max_computation_time`` is
 checked between chunks (the reference checks between iterations), and all
 iterations in a chunk share the chunk-end timestamp in ``result.times``.
 ``chunk_iterations=1`` recovers exact per-iteration behavior.
+
+Cost model: every chunk boundary is a host-synchronized dispatch, whose
+price is runtime-dependent — ~0.6 ms on a local PJRT runtime, but ~26-50
+ms over the remote axon tunnel measured 2026-08-18 (docs/ROADMAP.md
+measurement caveat).  Size ``chunk_iterations`` so per-chunk device work
+dominates that charge; ``chunk_iterations=1`` is for semantics parity,
+not throughput.
 """
 
 from __future__ import annotations

@@ -10,7 +10,9 @@ SIMD-parallel two-sided Jacobi method instead.
 
 **Measured verdict (round 3, v5e)**: inside the real fleet iteration the
 Jacobi RR *loses* to batched QDWH — 19.4 ms vs 4.7 ms per lockstep fleet
-iteration (benchmarks/probe_jacobi.py) — because its n-1 rotation rounds
+iteration gross (benchmarks/probe_jacobi.py; ~18 vs ~4 ms after
+subtracting the ~1 ms/iteration tunnel-dispatch charge its K=50
+single-call methodology carries, so ~4.5-7x) — because its n-1 rotation rounds
 x ~10 sweeps form a long sequential chain of tiny elementwise steps, and
 this runtime's per-step loop overhead dominates the (small) per-round
 work.  The module is retained as a standalone batched high-relative-

@@ -556,11 +556,13 @@ def lobpcg_fleet(
 
     The fleet default is ``rr_method="chol"`` (one eigh per iteration via
     shifted-Cholesky whitening): the in-fleet TPU A/B
-    (benchmarks/probe_jacobi.py, 16x m=1e4, 2026-08) measured 3.12
-    ms/lockstep-iteration (5127 aggregate it/s) vs 4.69 ms (3412) for the
-    QDWH-eigh RR and 19.4 ms for batched parallel-Jacobi, with the chol
-    arm also the most accurate converged (1.9e-05 max rel err,
-    pencil-consistent).
+    (benchmarks/probe_jacobi.py + config10 two-point slopes, 16x m=1e4,
+    2026-08) measured ~2.5 ms/lockstep-iteration (~6500 aggregate it/s)
+    vs ~4 ms for the QDWH-eigh RR (~1.65x) and ~18 ms for batched
+    parallel-Jacobi, with the chol arm also the most accurate converged
+    (1.9e-05 max rel err, pencil-consistent).  Fleet vs serial device
+    time is ~1.8x; the fleet additionally pays ONE host-dispatch charge
+    per sweep where serial solves pay one per instance.
 
     Returns an :class:`LOBPCGResult` whose fields carry a leading fleet
     axis (``warm_start`` is batched too and resumes through
