@@ -11,8 +11,7 @@ reduction whose scalar feeds the next pass, so XLA can neither fold nor
 batch the chain and the measured rate is the honest streaming rate
 (methodology validated in benchmarks/probe_streams.py).
 
-Variants (all at n = 2^24, the headline scale; a 2^20 ~ 10^6-var line is
-also printed for the north star's literal size):
+Variants:
 
 - ``raw``: the operator pass ``y = 2 A v`` with the diagonal generated on
   the fly — 2 HBM streams (read v, write y), the bytes carrier all other
@@ -22,11 +21,39 @@ also printed for the north star's literal size):
 - ``proj_bf16``: the same with bf16 iterate storage / f32 accumulation
   (the headline tier of bench.py): 3 streams at half the bytes.
 
-Real-bytes bandwidth accounting (bytes actually moved per pass / wall
-time); "fraction" = that bandwidth over the chip's spec HBM bandwidth.
+The projected variants use the flat-CG engine's deferred-dot structure:
+the projection scalar ``<x, 2A v_k>`` is computed in iteration k-1's
+reduction group (on the unnormalized w, rescaled by the known
+normalization), so every iteration is ONE fused 3-stream pass with ONE
+multi-output reduction group (a naive mid-body dot splits every
+iteration into two passes).
 
-Headline value: the best projected-Hv fraction of spec.
-vs_baseline = fraction / 0.80 (>= 1.0 meets the north star).
+MEASURED REGIME MAP (v5e, 2026-08-18 n-sweep, /tmp probe series): XLA
+keeps the while-loop carry + loop invariants VMEM-RESIDENT when they fit
+(~128 MiB VMEM), so the chain moves NO HBM bytes at all below the
+boundary and "bandwidth" is apparent, not real:
+
+  n=2^20 (4 MiB/arr)  raw 1705 / proj 2200 GB/s apparent (VMEM-resident)
+  n=2^24 (64 MiB/arr) raw 2933 / proj 2501 GB/s apparent (boundary case)
+  n=2^25 (128 MiB/arr) raw 652 / proj 662 GB/s  <- honest HBM streaming
+  n=2^26 (256 MiB/arr) raw 701 / proj 672 GB/s  <- honest HBM streaming
+
+Consequences for the north star: at its literal 10^6-var size the Hv
+chain is NOT HBM-bound on this chip — it runs out of VMEM at ~2.7x the
+HBM roofline (reported as such) — and in the honestly HBM-bound regime
+(n >= 2^25) the single-pass projected Hv sustains 0.80-0.82 of spec,
+meeting the >= 80% target.  The headline value is the HBM-bound
+projected fraction (best of n = 2^25, 2^26); the VMEM-resident rates are
+reported alongside as apparent bandwidths.
+
+Timing is a TWO-POINT SLOPE over chain lengths (K_lo, K_hi) sized so the
+work spread is >= ~0.5 s: the tunnel charges ~26-50 ms (noisy, +-30 ms)
+per host-synchronized dispatch post-outage (docs/ROADMAP.md measurement
+caveat), which both swamps single-call timings and — through its
+variance — corrupts short-chain slopes.
+
+vs_baseline = (HBM-bound projected fraction) / 0.80 (>= 1.0 meets the
+north star).
 """
 
 import jax
@@ -34,12 +61,20 @@ import jax.numpy as jnp
 
 from _util import best_time, chip_bandwidth, emit
 
-K_BY_N = {1 << 24: 30, 1 << 20: 400}   # chained passes per timed call
-# (scaled so each timed call runs >= ~10 ms: at n=2^20 a pass is ~25 us
-#  and a 30-pass chain would be dispatch-dominated)
+# (K_lo, K_hi) per n: sized so the slope spread is ~0.5-1 s of device work
+K_BY_N = {
+    1 << 26: (40, 440),      # HBM-bound headline (256 MiB/array f32)
+    1 << 25: (80, 880),      # HBM-bound for f32; bf16 state still fits VMEM
+    1 << 20: (4000, 44000),  # the literal 10^6-var size (VMEM-resident)
+}
+BIG = (1 << 26, 1 << 25)     # headline candidates (when actually streamed)
+# Residency is self-detected per line: apparent bandwidth > 1.05x spec is
+# physically impossible for real HBM streaming, so such lines are labeled
+# VMEM-resident and excluded from the HBM-bound headline (measured: the
+# boundary tracks STATE BYTES — bf16 at 2^25 is resident, f32 is not).
 
 
-def _variants(n, K):
+def _variants(n):
     b = 999.0 / (n - 1)
 
     def diag():
@@ -51,46 +86,67 @@ def _variants(n, K):
     v0 = jax.random.normal(jax.random.PRNGKey(1), (n,), jnp.float32)
     rq = float(jnp.dot(x, 2.0 * (diag() * x)))
 
-    @jax.jit
-    def raw(v):
-        def body(k, carry):
-            v, _ = carry
-            y = 2.0 * (diag() * v)
-            s = jnp.sum(y * y)
-            return (y * jax.lax.rsqrt(s), s)
-        return jax.lax.fori_loop(0, K, body, (v, jnp.zeros((), jnp.float32)))
+    # Deferred-dot bodies: the carry holds the UNNORMALIZED previous
+    # direction w plus every scalar the next pass needs (its norm² s and
+    # the projection dot e = <x, 2Aw>), all produced by the previous
+    # pass's single multi-output reduction group.  Normalization folds
+    # into the next pass's elementwise scalars, so each iteration is one
+    # fused pass (read w [, read x], write w') — the naive in-body
+    # ``jnp.dot(x, av2)`` / ``w * rsqrt(s)`` forms split every iteration
+    # into two passes (reduction consumed mid-body).
 
-    @jax.jit
-    def proj_f32(v, x):
-        def body(k, carry):
-            v, _ = carry
-            av2 = 2.0 * (diag() * v)
-            t = av2 - x * jnp.dot(x, av2)
-            w = t - rq * v
-            s = jnp.sum(w * w)
-            return (w * jax.lax.rsqrt(s), s)
-        return jax.lax.fori_loop(0, K, body, (v, jnp.zeros((), jnp.float32)))
+    def mk_raw(K):
+        @jax.jit
+        def raw(v):
+            def body(k, carry):
+                w, s = carry
+                c = jax.lax.rsqrt(s)
+                y = (2.0 * c) * (diag() * w)      # = 2 A (w/|w|)
+                return (y, jnp.sum(y * y))
+            return jax.lax.fori_loop(0, K, body, (v, jnp.sum(v * v)))
+        return raw
 
-    @jax.jit
-    def proj_bf16(v, x):
-        # bf16 storage, every product/reduction accumulates f32 (bench.py
-        # headline tier contract).
-        def body(k, carry):
-            v, _ = carry
-            vf = v.astype(jnp.float32)
-            xf = x.astype(jnp.float32)
-            av2 = 2.0 * (diag() * vf)
-            t = av2 - xf * jnp.dot(xf, av2)
-            w = t - rq * vf
-            s = jnp.sum(w * w)
-            return ((w * jax.lax.rsqrt(s)).astype(jnp.bfloat16), s)
-        return jax.lax.fori_loop(0, K, body,
-                                 (v, jnp.zeros((), jnp.float32)))
+    def _proj_init(vf, xf):
+        return jnp.sum(vf * vf), jnp.sum(xf * (2.0 * (diag() * vf)))
+
+    def mk_proj_f32(K):
+        @jax.jit
+        def proj_f32(v, x):
+            def body(k, carry):
+                w, s, e = carry
+                c = jax.lax.rsqrt(s)              # v_k = c * w
+                dw = 2.0 * (diag() * w)
+                wn = c * dw - (c * e) * x - (rq * c) * w
+                dwn = 2.0 * (diag() * wn)
+                return (wn, jnp.sum(wn * wn), jnp.sum(x * dwn))
+            s0, e0 = _proj_init(v, x)
+            return jax.lax.fori_loop(0, K, body, (v, s0, e0))
+        return proj_f32
+
+    def mk_proj_bf16(K):
+        @jax.jit
+        def proj_bf16(v, x):
+            # bf16 storage, every product/reduction accumulates f32
+            # (bench.py headline tier contract).
+            def body(k, carry):
+                w, s, e = carry
+                wf = w.astype(jnp.float32)
+                xf = x.astype(jnp.float32)
+                c = jax.lax.rsqrt(s)
+                dw = 2.0 * (diag() * wf)
+                wn = c * dw - (c * e) * xf - (rq * c) * wf
+                dwn = 2.0 * (diag() * wn)
+                return (wn.astype(jnp.bfloat16), jnp.sum(wn * wn),
+                        jnp.sum(xf * dwn))
+            s0, e0 = _proj_init(v.astype(jnp.float32),
+                                x.astype(jnp.float32))
+            return jax.lax.fori_loop(0, K, body, (v, s0, e0))
+        return proj_bf16
 
     return [
-        ("raw", raw, (v0,), 2 * 4 * n),
-        ("proj_f32", proj_f32, (v0, x), 3 * 4 * n),
-        ("proj_bf16", proj_bf16,
+        ("raw", mk_raw, (v0,), 2 * 4 * n),
+        ("proj_f32", mk_proj_f32, (v0, x), 3 * 4 * n),
+        ("proj_bf16", mk_proj_bf16,
          (v0.astype(jnp.bfloat16), x.astype(jnp.bfloat16)), 3 * 2 * n),
     ]
 
@@ -99,19 +155,38 @@ def main():
     spec, kind = chip_bandwidth()
     lines = [kind]
     best_proj = 0.0
-    for n, tag in [(1 << 24, "2^24"), (1 << 20, "2^20")]:
-        K = K_BY_N[n]
-        for name, fn, args, bytes_per_pass in _variants(n, K):
-            dt = best_time(fn, *args)
-            gbps = bytes_per_pass * K / dt / 1e9
+    for n in K_BY_N:
+        tag = f"2^{n.bit_length() - 1}"
+        k_lo, k_hi = K_BY_N[n]
+        for name, mk, args, bytes_per_pass in _variants(n):
+            t_lo = best_time(mk(k_lo), *args, reps=5)
+            t_hi = best_time(mk(k_hi), *args, reps=5)
+            per_pass = (t_hi - t_lo) / (k_hi - k_lo)
+            if per_pass <= 0:
+                lines.append(f"{tag}/{name} DEGENERATE slope")
+                continue
+            gbps = bytes_per_pass / per_pass / 1e9
             frac = gbps / spec
-            lines.append(f"{tag}/{name} {gbps:.0f} GB/s ({frac:.2f} spec)")
-            if name.startswith("proj") and tag == "2^24":
+            resident = frac > 1.05 or n not in BIG
+            lines.append(f"{tag}/{name} {gbps:.0f} GB/s ({frac:.2f} spec"
+                         + (" apparent/VMEM-resident)" if resident
+                            else ")"))
+            if name.startswith("proj") and n in BIG and not resident:
                 best_proj = max(best_proj, frac)
+    # best_proj == 0 means every big-n projected line came back resident
+    # or degenerate — no honest streaming measurement; report that rather
+    # than a fake number.
+    anomalous = best_proj == 0.0
     emit("hv_matvec_fraction_of_spec_hbm", best_proj,
-         "projected sphere Hv power-iteration chain, real-bytes BW: "
+         ("MEASUREMENT ANOMALY (no valid HBM-bound projected line; "
+          "rerun) - " if anomalous else "")
+         + "projected sphere Hv power-iteration chain, real-bytes BW, "
+         "two-point slopes; headline = best genuinely-HBM-streamed "
+         "projected line (state > VMEM); VMEM-resident lines (incl. the "
+         "10^6-var north-star size, which is not HBM-bound on this chip) "
+         "reported as apparent: "
          + "; ".join(lines) + f"; spec {spec:.0f} GB/s",
-         best_proj / 0.80)
+         0.0 if anomalous else best_proj / 0.80)
 
 
 if __name__ == "__main__":
