@@ -7,30 +7,35 @@ scaled up; the diagonal is generated on the fly, so the Hessian application
 is a pure 2-stream elementwise map).
 
 Engine: the trust-region subproblem runs in the single-synchronization
-pair-deferred flat CG (``linalg/flat_cg.py``) — Chronopoulos-Gear
-recurrences + the structured sphere Hessian  P H P = A0 + U B U'  make each
-CG iteration ONE fused memory pass with ONE reduction sync (q = Hp and
-y = 2Ax are recomputed elementwise in-pass; the s update is merged across
-pairs of unrolled iterations), moving ~6n words per iteration.
+flat CG (``linalg/flat_cg.py``) — Chronopoulos-Gear recurrences + the
+structured sphere Hessian  P H P = A0 + U B U'  make each CG iteration
+ONE fused memory pass with ONE reduction sync (q = Hp and y = 2Ax are
+recomputed elementwise in-pass), with the loop-body shape picked per
+(n, dtype) by the measured VMEM-residency boundary
+(``flat_cg.resolve_body``): at bf16/2^24 the four loop vectors fit VMEM,
+the body runs ONE iteration per pass (state stays resident, measured
+4689 CG it/s), while f32/2^24 streams from HBM and uses the
+pair-deferred body (~6n words/iteration, s merged across pairs).
 
 Round-3 headline tier: **bf16 iterate storage / f32 accumulation**.  Every
-n-vector the CG pass streams (x, s, r, p) is bf16, halving the bytes per
-iteration, while the regenerated diagonal operator, every dot-product
-reduction, and all trust-region scalars stay f32 — so the achieved
-objective matches the f32 tier on this fixed-effort config (measured
-f* = 1.0049 bf16 vs 1.0047 f32 after 30 outer iterations; both tiers are
-marching down the same kappa=1000 Rayleigh quotient and neither is at its
-dtype floor at that effort).  Measured round 3 on TPU v5e: 2781 CG it/s
-bf16 (566 GB/s of real bytes = 0.69 of the 819 GB/s spec, at the top of
-the runtime's measured multi-stream fusion envelope) vs 1211 f32.
+n-vector the CG pass touches (x, s, r, p) is bf16 — halving the bytes AND
+putting the loop state inside the VMEM-residency boundary — while the
+regenerated diagonal operator, every dot-product reduction, and all
+trust-region scalars stay f32, so the achieved objective matches the f32
+tier on this fixed-effort config (measured f* = 1.0042 bf16 vs 1.0047 f32
+after 30 outer iterations; both tiers are marching down the same
+kappa=1000 Rayleigh quotient and neither is at its dtype floor at that
+effort).  Measured round 3 on TPU v5e: 4689 CG it/s bf16 (VMEM-resident;
+earlier round-3 pair-body figure 2758-3047) vs 1254 f32 (streamed, ~505
+GB/s of real bytes).
 
 Headline value: CG iterations/second for the full TNT solve in the bf16
 tier (compile excluded, outer-iteration overhead included).  History:
 round 1 = 674 (f32), round 2 = 1231 (f32); the round-3 target set by the
 judge is 1850.  vs_baseline = value / 1850 (>= 1.0 beats the target).
-The unit string reports both tiers, the effective HBM bytes (6n words per
-CG iteration — the flat engine's measured traffic accounting — / wall
-time), and the achieved objectives.
+The unit string reports both tiers, the per-iteration word accounting
+(7n single-body / 6n pair-body; APPARENT bandwidth when the loop is
+VMEM-resident), and the achieved objectives.
 
 Tunnel-charge correction (2026-08-18): the post-outage axon tunnel adds a
 ~26-50 ms fixed latency to every host-synchronized dispatch (measured by
@@ -249,12 +254,19 @@ def main():
     rate_net = inner / dt_net
     f32_rate_net = f32_inner / f32_dt_net
 
-    # Effective HBM traffic of the flat CG iteration: the fused pass reads
-    # r/p/x and writes r/p every iteration, plus s read+write every OTHER
-    # iteration (merged s update) -> avg 6n words; q and y=2Ax are
-    # recomputed elementwise in-pass, the affine diagonal from iota.
-    gbps = 6 * n * 2 * inner / dt_net / 1e9
-    f32_gbps = 6 * n * 4 * f32_inner / f32_dt_net / 1e9
+    # Traffic accounting per CG iteration by loop-body shape
+    # (linalg.flat_cg.resolve_body): the single-iteration body touches
+    # s/r/p/x per pass (~7n words), the pair body defers s across pairs
+    # (~6n avg).  When the four loop vectors fit VMEM (bf16 at this n)
+    # the loop is RESIDENT and the figure is APPARENT bandwidth — real
+    # HBM traffic is near zero; streamed tiers report real bytes.
+    from optimization_tpu.linalg.flat_cg import resolve_body
+    w_bf16 = 7 if resolve_body(n, jnp.bfloat16) == "single" else 6
+    w_f32 = 7 if resolve_body(n, jnp.float32) == "single" else 6
+    res_bf16 = (" apparent/VMEM-resident"
+                if resolve_body(n, jnp.bfloat16) == "single" else "")
+    gbps = w_bf16 * n * 2 * inner / dt_net / 1e9
+    f32_gbps = w_f32 * n * 4 * f32_inner / f32_dt_net / 1e9
 
     result = {
         "metric": "tnt_flat_cg_iters_per_s_bf16",
@@ -263,9 +275,10 @@ def main():
                  f"bf16 storage / f32 accumulate ({kind}); {outer} outer / "
                  f"{inner} cg in {dt_net:.2f}s net of the measured "
                  f"{charge * 1e3:.0f} ms/dispatch tunnel charge (gross "
-                 f"{dt:.2f}s = {rate:.0f} it/s); single-sync flat CG moves "
-                 f"~6n bf16 words/iter -> {gbps:.0f} GB/s = "
-                 f"{gbps / spec:.2f} of {spec:.0f} GB/s spec; "
+                 f"{dt:.2f}s = {rate:.0f} it/s); single-sync flat CG touches "
+                 f"~{w_bf16}n bf16 words/iter -> {gbps:.0f} GB/s = "
+                 f"{gbps / spec:.2f} of {spec:.0f} GB/s spec"
+                 f"{res_bf16}; "
                  f"f*={fstar:.4f} (exact 1.0); "
                  f"{split}"
                  f"f32 tier: {f32_rate_net:.0f} cg it/s ({f32_outer} outer "

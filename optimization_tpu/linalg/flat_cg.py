@@ -128,12 +128,64 @@ def _dot(a, b):
     return jnp.sum(a.astype(dt) * b.astype(dt))
 
 
+# Measured VMEM-residency boundary (v5e, benchmarks/probe_vmem.py +
+# /tmp probe series 2026-08-18): XLA keeps a while-loop's carried vectors
+# + invariants resident when they fit ~128 MiB, and the loop then runs at
+# multi-TB/s apparent instead of the ~650-700 GB/s streamed envelope.
+_VMEM_BYTES = 128 * 1024 * 1024
+
+
+def resolve_body(n, dtype) -> str:
+    """Pick the pair engine's loop-body shape for (n, storage dtype).
+
+    ``single`` (one CG iteration per while-loop body) keeps the body's
+    live set at the four loop vectors (s, r, p + one invariant) — when
+    that fits VMEM the loop goes resident and wins big (measured bf16
+    n=2^24: 4743 vs 3047 CG it/s end-to-end TNT).  ``pair`` (two fused
+    iterations, deferred s update) moves ~6n words/iteration instead of
+    7n but doubles the body's live vectors — the winner once the state
+    streams from HBM (measured f32 n=2^24: 1292 vs 869)."""
+    state = 4 * n * jnp.dtype(dtype).itemsize
+    return "single" if state <= _VMEM_BYTES else "pair"
+
+
+class _UEntry(NamedTuple):
+    """A normalized low-rank vector: ``mat()`` materializes it (f32+ ok,
+    callers cast), ``dot(v)`` computes ``<u, v>`` in f32+."""
+    mat: Callable[[], jnp.ndarray]
+    dot: Callable[[jnp.ndarray], jnp.ndarray]
+
+
 def _norm_U(U, B, sdt):
-    """Normalize the low-rank term to (tuple-of-nullary-callables, B)."""
+    """Normalize the low-rank term to (tuple of :class:`_UEntry`, B).
+
+    Accepted entry forms:
+    - an (n,) array — stored vector, read from HBM where used;
+    - a nullary callable returning the vector — regenerated where used
+      (NB: XLA CSE + loop-invariant code motion may still materialize a
+      repeatedly-used regenerated vector once and re-read it);
+    - a ``(base, elem_fn)`` pair with ``elem_fn`` a LINEAR, SELF-ADJOINT,
+      ELEMENTWISE map: the entry is ``u = elem_fn(base)``, and every dot
+      uses the adjoint identity ``<u, v> = <base, elem_fn(v)>`` so the
+      reduction reads only ``base`` and regenerates the weighting inside
+      its own fusion — ``u`` itself is never a reduction input.  This is
+      the TPU-native form for operator-derived vectors like y = 2 A x
+      (measured: it removes the engine's largest extra HBM stream)."""
     if U is None or len(U) == 0:
         return (), jnp.zeros((0, 0), sdt)
-    U = tuple((u if callable(u) else (lambda uu=u: uu)) for u in U)
-    return U, jnp.asarray(B, sdt)
+
+    def norm(u):
+        if isinstance(u, _UEntry):      # idempotent (engines re-normalize)
+            return u
+        if isinstance(u, tuple):
+            base, elem = u
+            return _UEntry(mat=lambda: elem(base),
+                           dot=lambda v: _dot(base, elem(v)))
+        if callable(u):
+            return _UEntry(mat=u, dot=lambda v: _dot(u(), v))
+        return _UEntry(mat=lambda: u, dot=lambda v: _dot(u, v))
+
+    return tuple(norm(u) for u in U), jnp.asarray(B, sdt)
 
 
 class FlatCGInit(NamedTuple):
@@ -174,10 +226,10 @@ def flat_init_dots(g, A0, U, B=None) -> FlatCGInit:
     def Udots(v):
         if k_lr == 0:
             return jnp.zeros((0,), sdt)
-        return jnp.stack([_dot(u(), v) for u in U])
+        return jnp.stack([u.dot(v) for u in U])
 
     A0g = A0(g).astype(sdt)
-    UU = (jnp.stack([Udots(u()) for u in U]) if k_lr
+    UU = (jnp.stack([Udots(u.mat()) for u in U]) if k_lr
           else jnp.zeros((0, 0), sdt))
     return FlatCGInit(rv=_dot(g, g), ar=_dot(A0g, g), nr=_dot(A0g, A0g),
                       m=Udots(g), mA=Udots(A0g), UU=UU)
@@ -228,6 +280,7 @@ def _stpcg_flat_pair(
     theta: float = 0.5,
     epsilon: float = 1e-8,
     init: Optional[FlatCGInit] = None,
+    body_kind: str = "auto",
 ) -> FlatCGResult:
     """The round-2 pair-deferred engine: ONE fused ~6n-word pass + ONE
     reduction sync per CG iteration (s updates merged across unrolled
@@ -263,7 +316,7 @@ def _stpcg_flat_pair(
         """U' v accumulated in f32+: (k_lr,)."""
         if k_lr == 0:
             return jnp.zeros((0,), sdt)
-        return jnp.stack([_dot(u(), v) for u in U])
+        return jnp.stack([u.dot(v) for u in U])
 
     def H_of(v, mv):
         """H v given mv = U'v (elementwise + small-rank broadcast)."""
@@ -271,7 +324,7 @@ def _stpcg_flat_pair(
         if k_lr:
             c = B @ mv
             for j in range(k_lr):
-                out = out + c[j] * U[j]().astype(sdt)
+                out = out + c[j] * U[j].mat().astype(sdt)
         return out
 
     # --- initialization: r0 = g, p_{-1} = 0, beta_0 = 0.  The dot group
@@ -388,6 +441,17 @@ def _stpcg_flat_pair(
             pend_out = cs
         p2 = p2.astype(dtype)
 
+        # U'(A0 p_k) and |A0 p_k|^2 by exact order-2 recurrences on the
+        # carried group (p_k = -r_k + beta p_{k-1}):
+        #   U'(A0 p_k) = -U'(A0 r_k) + beta U'(A0 p_{k-1})
+        #   |A0 p_k|^2 = |A0 r_k|^2 - 2 beta <A0 r_k, A0 p_{k-1}>
+        #                + beta^2 |A0 p_{k-1}|^2
+        # — the same class as the |q_k|^2 recurrence above, anchored each
+        # half by the fresh nr/pa/mA dots.  In the VMEM-resident regime
+        # the pass is VPU-op-bound, so dropping three fresh reductions
+        # (and A0 p's only reduction-side consumer) pays directly.
+        mB2 = -st.mA + beta * st.mB
+        nAp2 = st.nr - 2.0 * beta * st.pa + beta * beta * st.nAp
         A0r2 = A0(r2).astype(sdt)
         A0p2 = A0(p2).astype(sdt)
         rv2 = _dot(r2, r2)
@@ -396,8 +460,6 @@ def _stpcg_flat_pair(
         m2 = Udots(r2)
         mA2 = Udots(A0r2)
         pa2 = _dot(A0r2, A0p2)
-        mB2 = Udots(A0p2)
-        nAp2 = _dot(A0p2, A0p2)
 
         exit_now = boundary | frozen
 
@@ -421,10 +483,26 @@ def _stpcg_flat_pair(
             boundary=jnp.where(frozen, st.boundary, boundary),
         ), pend_out
 
-    def body(st: _State) -> _State:
-        st1, pend = half(st, zero, apply_s=False)
-        st2, _ = half(st1, pend, apply_s=True)
-        return st2
+    if body_kind == "auto":
+        body_kind = resolve_body(n, dtype)
+    if body_kind == "single":
+        # One half per while iteration: s applied every pass (7n words vs
+        # the pair's 6n average) but the body's live set stays at the four
+        # loop vectors — the winning shape whenever that set rides VMEM
+        # (see resolve_body).
+        def body(st: _State) -> _State:
+            st1, _ = half(st, zero, apply_s=True)
+            return st1
+    else:
+        # Pair-deferred: two halves per while iteration, the first
+        # deferring its s coefficient into the second's fused s update —
+        # fewer words per iteration, but half 1's outputs + half 2's
+        # outputs double the body's live vectors.  The winning shape in
+        # the HBM-streamed regime (state > VMEM).
+        def body(st: _State) -> _State:
+            st1, pend = half(st, zero, apply_s=False)
+            st2, _ = half(st1, pend, apply_s=True)
+            return st2
 
     st = jax.lax.while_loop(cond, body, st0)
 
@@ -450,6 +528,7 @@ def stpcg_flat(
     s_steps: int = 1,
     solve_mode: bool = False,
     init: Optional[FlatCGInit] = None,
+    body_kind: str = "auto",
 ) -> FlatCGResult:
     """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
     H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
@@ -461,6 +540,12 @@ def stpcg_flat(
       them elementwise (an (n, k) array would be padded to 128 lanes by the
       TPU tiler, multiplying its traffic ~64x); ``B``: (k, k) symmetric.
       Pass None/None for a purely elementwise Hessian.
+    - ``body_kind`` (pair engine): ``"auto"`` (default) picks the loop
+      body by the measured VMEM-residency boundary (:func:`resolve_body`
+      — ``"single"`` when the four loop vectors fit ~128 MiB, else
+      ``"pair"``); pass ``"single"``/``"pair"`` to override.  Semantics
+      are identical (both parity-tested against the generic engine);
+      only the words/iteration vs live-vector trade differs.
     - ``s_steps``: CG iterations advanced per reduction sync (1..3).
       ``1`` (default) runs the pair-deferred engine — one fused ~6n-word
       pass + one sync per iteration, assemblies at moment order <= 2 —
@@ -493,7 +578,8 @@ def stpcg_flat(
         return _stpcg_flat_pair(g, A0, U, B, Delta,
                                 max_iterations=max_iterations,
                                 kappa_fgr=kappa_fgr, theta=theta,
-                                epsilon=epsilon, init=init)
+                                epsilon=epsilon, init=init,
+                                body_kind=body_kind)
     if init is not None:
         raise ValueError(
             "init= (the precomputed pre-loop dot group) is only supported "
@@ -563,7 +649,7 @@ def _stpcg_flat_sstep(
         """U' v accumulated in f32+: (k,)."""
         if k_lr == 0:
             return jnp.zeros((0,), sdt)
-        return jnp.stack([_dot(u(), v) for u in U])
+        return jnp.stack([u.dot(v) for u in U])
 
     def lowrank(c):
         """U B c as a register vector (elementwise regeneration)."""
@@ -571,7 +657,7 @@ def _stpcg_flat_sstep(
         if k_lr:
             d = B @ c
             for j in range(k_lr):
-                term = d[j] * U[j]().astype(sdt)
+                term = d[j] * U[j].mat().astype(sdt)
                 out = term if out is None else out + term
         return out
 
@@ -584,7 +670,7 @@ def _stpcg_flat_sstep(
     # --- k x k couplings G_j = U'(A0^j U), j <= K-2 (setup-only dots) ---
     Gs = []
     if k_lr:
-        cols = [u().astype(sdt) for u in U]
+        cols = [u.mat().astype(sdt) for u in U]
         for j in range(max(K - 1, 1)):
             Gs.append(jnp.stack([Udots(c) for c in cols]).T)  # [i,l]=u_i'A0^j u_l
             cols = [A0(c).astype(sdt) for c in cols]
@@ -1018,8 +1104,15 @@ def sphere_rayleigh_flat(x, A_elem, rq=None):
     def A0(v):
         return 2.0 * A_elem(v) - rq * v.astype(_acc_dt(v))
 
-    # y is regenerated elementwise inside every CG fusion (2 A x reads only
-    # x, which the pass reads anyway) instead of being stored in HBM.
-    U = (x, lambda: (2.0 * A_elem(x)).astype(x.dtype))
+    # y = 2 A x enters as the ADJOINT-FORM pair (x, 2A.): every <y, v>
+    # reduction computes <x, 2A v> with the elementwise weighting
+    # regenerated inside the consuming fusion, so the engine's reductions
+    # read only x (which the pass reads anyway) and y is materialized
+    # solely where the Hessian application adds c1*y.  The previous
+    # nullary-callable form was defeated by XLA CSE + loop-invariant code
+    # motion: the "regenerated" y was hoisted, materialized to HBM, and
+    # re-read by every consumer kernel (measured +80 us/CG-iteration at
+    # n=2^24 bf16, ~half the U-group's entire cost).
+    U = (x, (x, lambda v: 2.0 * A_elem(v)))
     B = jnp.asarray([[2.0 * rq, -1.0], [-1.0, 0.0]], _acc_dt(x))
     return A0, U, B, rq

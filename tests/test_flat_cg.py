@@ -111,8 +111,10 @@ class TestParityWithGeneric:
         g = proj(jnp.asarray(rng.normal(size=n)))       # tangent gradient
 
         # the symmetrized operator equals the one-sided form on tangents
-        # (U entries may be generator callables — materialize for the check)
-        Um = [u() if callable(u) else u for u in U]
+        # (U entries may be generator callables or (base, elem_fn)
+        # adjoint-form pairs — materialize for the check)
+        Um = [u[1](u[0]) if isinstance(u, tuple)
+              else (u() if callable(u) else u) for u in U]
         v = proj(jnp.asarray(rng.normal(size=n)))
         mv = jnp.stack([jnp.sum(u * v) for u in Um])
         c = B @ mv
@@ -430,3 +432,62 @@ class TestInitThreading:
             # both tiers march the kappa=1000 quotient to the same
             # neighborhood of lambda_min = 1 at this fixed effort
             assert float(res.f) < 1.05, with_init
+
+
+def test_adjoint_form_u_entry_matches_stored():
+    """A ``(base, elem_fn)`` U entry (adjoint-form dots: <u, v> computed
+    as <base, elem_fn(v)>) must produce the same solve as the same vector
+    passed stored — same iterate counts, same step to rounding.  This is
+    the TPU-native form sphere_rayleigh_flat now emits for y = 2Ax so the
+    engine's reductions read only x (flat_cg._norm_U)."""
+    n = 600
+    rng = np.random.default_rng(3)
+    d = jnp.asarray(rng.uniform(0.5, 50.0, n))
+    x = jnp.asarray(rng.normal(size=n))
+    x = x / jnp.linalg.norm(x)
+    g = jnp.asarray(rng.normal(size=n)) * 0.1
+
+    def A0(v):
+        return d * v + 2.0 * v
+
+    B = jnp.asarray([[0.3, -0.1], [-0.1, 0.2]])
+    elem = lambda v: 2.0 * (d * v)
+    U_pair = (x, (x, elem))
+    U_stored = (x, elem(x))
+
+    for Delta in (1e9, 0.25):
+        ra = stpcg_flat(g, A0, U_pair, B, Delta, max_iterations=300,
+                        kappa_fgr=1e-8, theta=1.0)
+        rb = stpcg_flat(g, A0, U_stored, B, Delta, max_iterations=300,
+                        kappa_fgr=1e-8, theta=1.0)
+        assert int(ra.num_iterations) == int(rb.num_iterations)
+        np.testing.assert_allclose(np.asarray(ra.s), np.asarray(rb.s),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(ra.predicted_decrease),
+                                   float(rb.predicted_decrease),
+                                   rtol=1e-10)
+
+
+@pytest.mark.parametrize("body_kind", ["single", "pair"])
+def test_body_kinds_match_generic(body_kind):
+    """Both pair-engine loop bodies (single-iteration and pair-deferred)
+    reproduce the generic STPCG iterates exactly; "auto" picks between
+    them by the measured VMEM-residency boundary (flat_cg.resolve_body)
+    without changing semantics."""
+    d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=9)
+    for Delta in (1e9, 0.4, 0.04):
+        ref = stpcg(g, Hv, DOT, Delta, max_iterations=300,
+                    kappa_fgr=0.05, theta=0.5)
+        res = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                         kappa_fgr=0.05, theta=0.5, body_kind=body_kind)
+        assert int(res.num_iterations) == int(ref.num_iterations), Delta
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_resolve_body_boundary():
+    from optimization_tpu.linalg.flat_cg import resolve_body
+    assert resolve_body(1 << 24, jnp.bfloat16) == "single"   # 128 MiB
+    assert resolve_body(1 << 24, jnp.float32) == "pair"      # 256 MiB
+    assert resolve_body(1 << 23, jnp.float32) == "single"
+    assert resolve_body(1 << 10, jnp.float64) == "single"
