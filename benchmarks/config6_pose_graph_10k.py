@@ -9,10 +9,16 @@ dual certificate with LOBPCG.
 
 Metric: end-to-end certified-solve wall seconds (excluding file synthesis;
 INCLUDING the first-call compiles — this is the cold single-shot
-production path).  Round-3 measured split (TPU v5e, inner_engine="cg"):
-cold 130 s, warm 29.6 s, TNT 15 outer / 134 cg, certified at the noise
-floor.  (The s-step flat inner engine was A/B'd here and lost 11x warm —
-see pose_sync._weighted_laplacian_solver's docstring.)
+production path).  Round-3 final (TPU v5e, inner_engine="cg", chol-RR
+certificate default): cold 127 s, TNT 11 outer / 84 cg (the
+step_decision guard trims the noise-floor tail; previously 15/134),
+certified, rot_err 0.0055.  Stage split
+(benchmarks/probe_pose_stages.py): the pipeline is CERTIFICATE-bound —
+TNT is 2.5 s warm / 91 s cold; the certificate 11 s warm, and its
+eigh-RR compile (114 s) was half the cold wall until the chol-RR
+default (25 s compile, fewer iterations, certifies).  (The s-step flat
+inner engine was A/B'd here and lost 11x warm — see
+pose_sync._weighted_laplacian_solver's docstring.)
 vs_baseline = quality parity: 1.0 when the gauge-aligned rotation error is
 at the injected noise floor AND the solution certifies as a global optimum
 of the relaxation.

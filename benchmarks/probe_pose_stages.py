@@ -12,6 +12,22 @@ Stages mirror ``pose_sync.solve_pose_graph(marginalized=True,
 certify=True)`` exactly (same data, dtype, params, default
 scatter_method), so stage sums reconcile against config6's wall.
 
+Measured (TPU v5e, 2026-08-18; cold incl. compile / warm):
+
+  g2o load (native)         0.72 s
+  spectral init            48.6 / 4.70 s
+  marginalized TNT         91.3 / 2.48 s   (11 outer / 84 cg)
+  LSQR translations        13.0 / 1.07 s
+  certificate eigh-RR     113.6 / 11.62 s  (181 LOBPCG iters)
+  certificate chol-RR      25.2 / 10.94 s  (147 iters, certified)
+
+Verdict: the pipeline is CERTIFICATE-bound, not solver-bound — the TNT
+everyone optimizes is 2.5 s warm; the certificate's LOBPCG pays ~73
+ms/iteration because every operator application contains the nested
+400-iteration Laplacian CG solve.  The eigh-RR certificate's compile
+alone is half the cold wall, so the marginalized pipeline now defaults
+to the chol-RR certificate (solve_pose_graph).
+
 Usage: ``python benchmarks/probe_pose_stages.py [cert_fast]``
 (``cert_fast`` adds a second certificate timing with the one-eigh
 shifted-Cholesky RR — ``solve_pose_graph(cert_fast=True)``).

@@ -452,12 +452,16 @@ def _stpcg_flat_pair(
         # (and A0 p's only reduction-side consumer) pays directly.
         mB2 = -st.mA + beta * st.mB
         nAp2 = st.nr - 2.0 * beta * st.pa + beta * beta * st.nAp
+        # U'r_{k+1} by the same exact order-2 class:  r2 = r + cr q2 with
+        # q2 = A0 p2 + U B (U'p2),  so  U'r2 = U'r + cr (U'(A0 p2)
+        # + (U'U) B (U'p2)) — every term already carried/known.  The mp
+        # recurrence stays anchored by mA2's fresh dots each half.
+        m2 = st.m + cr * (mB2 + (UU @ (B @ mp_k) if k_lr else mB2 * 0))
         A0r2 = A0(r2).astype(sdt)
         A0p2 = A0(p2).astype(sdt)
         rv2 = _dot(r2, r2)
         ar2 = _dot(A0r2, r2)
         nr2 = _dot(A0r2, A0r2)
-        m2 = Udots(r2)
         mA2 = Udots(A0r2)
         pa2 = _dot(A0r2, A0p2)
 

@@ -707,11 +707,17 @@ def solve_pose_graph(graph, *, dtype=jnp.float32,
     if certify:
         # Certify in the transposed (chordal-model) variables on the same
         # objective the rotation stage minimized (L for the chordal model,
-        # the full marginalized Q when marginalized=True).
+        # the full marginalized Q when marginalized=True).  The
+        # marginalized certificate defaults to the one-eigh shifted-
+        # Cholesky Rayleigh-Ritz: at 10^4 poses it certifies in fewer
+        # LOBPCG iterations (147 vs 181) at the same warm wall and
+        # compiles 4.5x faster (25 vs 114 s — half the pipeline's cold
+        # time; benchmarks/probe_pose_stages.py, 2026-08).
         cert = rs.certify(cert_x,
                           _transposed_rotation_data(src, dst, Mij, kappa),
                           operator=cert_op,
-                          rr_method=("chol" if cert_fast else "eigh"),
+                          rr_method=("chol" if (cert_fast or marginalized)
+                                     else "eigh"),
                           precondition=cert_fast,
                           scatter_method=scatter_method)
     return PoseSyncResult(R=R, t=t, rotation_result=rres,
