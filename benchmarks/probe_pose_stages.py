@@ -28,6 +28,12 @@ ms/iteration because every operator application contains the nested
 alone is half the cold wall, so the marginalized pipeline now defaults
 to the chol-RR certificate (solve_pose_graph).
 
+A cert block-size sweep (same operator, chol RR) ruled out the nx
+lever: iterations are GAP-limited, not basis-limited (nx=8: 127 iters /
+12.2 s warm; nx=16: 133 iters / 36.3 s — per-iteration cost scales with
+the 3nx nested-CG columns, so bigger blocks only multiply the dominant
+cost).  nx=8 stays the default.
+
 Usage: ``python benchmarks/probe_pose_stages.py [cert_fast]``
 (``cert_fast`` adds a second certificate timing with the one-eigh
 shifted-Cholesky RR — ``solve_pose_graph(cert_fast=True)``).
