@@ -151,9 +151,18 @@ def resolve_body(n, dtype) -> str:
 
 class _UEntry(NamedTuple):
     """A normalized low-rank vector: ``mat()`` materializes it (f32+ ok,
-    callers cast), ``dot(v)`` computes ``<u, v>`` in f32+."""
+    callers cast), ``dot(v)`` computes ``<u, v>`` in f32+, and
+    ``mat_scaled(c)`` materializes ``c * u`` with the (loop-varying)
+    scalar folded INSIDE the generating expression — for (base, elem_fn)
+    entries this is ``elem_fn(c * base)``, denying XLA the loop-invariant
+    ``elem_fn(base)`` subexpression it could otherwise hoist and
+    materialize.  (Measured at bf16 n=2^24: neutral — the engine slope
+    and headline were unchanged, so XLA was not paying a hoisted-y tax
+    there — kept as the defensive form since it is never slower and one
+    reassociation rounding is the only semantic difference.)"""
     mat: Callable[[], jnp.ndarray]
     dot: Callable[[jnp.ndarray], jnp.ndarray]
+    mat_scaled: Callable[[jnp.ndarray], jnp.ndarray]
 
 
 def _norm_U(U, B, sdt):
@@ -180,10 +189,15 @@ def _norm_U(U, B, sdt):
         if isinstance(u, tuple):
             base, elem = u
             return _UEntry(mat=lambda: elem(base),
-                           dot=lambda v: _dot(base, elem(v)))
+                           dot=lambda v: _dot(base, elem(v)),
+                           mat_scaled=lambda c: elem(
+                               c * base.astype(_acc_dt(base))))
         if callable(u):
-            return _UEntry(mat=u, dot=lambda v: _dot(u(), v))
-        return _UEntry(mat=lambda: u, dot=lambda v: _dot(u, v))
+            return _UEntry(mat=u, dot=lambda v: _dot(u(), v),
+                           mat_scaled=lambda c: c * u().astype(
+                               _acc_dt(u())))
+        return _UEntry(mat=lambda: u, dot=lambda v: _dot(u, v),
+                       mat_scaled=lambda c: c * u.astype(_acc_dt(u)))
 
     return tuple(norm(u) for u in U), jnp.asarray(B, sdt)
 
@@ -319,12 +333,13 @@ def _stpcg_flat_pair(
         return jnp.stack([u.dot(v) for u in U])
 
     def H_of(v, mv):
-        """H v given mv = U'v (elementwise + small-rank broadcast)."""
+        """H v given mv = U'v (elementwise + small-rank broadcast; each
+        term via mat_scaled so no loop-invariant u is hoisted)."""
         out = A0(v).astype(sdt)
         if k_lr:
             c = B @ mv
             for j in range(k_lr):
-                out = out + c[j] * U[j].mat().astype(sdt)
+                out = out + U[j].mat_scaled(c[j]).astype(sdt)
         return out
 
     # --- initialization: r0 = g, p_{-1} = 0, beta_0 = 0.  The dot group

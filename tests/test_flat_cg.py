@@ -436,10 +436,14 @@ class TestInitThreading:
 
 def test_adjoint_form_u_entry_matches_stored():
     """A ``(base, elem_fn)`` U entry (adjoint-form dots: <u, v> computed
-    as <base, elem_fn(v)>) must produce the same solve as the same vector
-    passed stored — same iterate counts, same step to rounding.  This is
-    the TPU-native form sphere_rayleigh_flat now emits for y = 2Ax so the
-    engine's reductions read only x (flat_cg._norm_U)."""
+    as <base, elem_fn(v)>; Hessian term via ``mat_scaled`` =
+    ``elem_fn(c * base)``) must produce the same solve as the same vector
+    passed stored, up to reassociation rounding — the per-element
+    products differ by one multiplication order, so a knife-edge
+    truncation may shift by one iteration while the step agrees to
+    rounding.  This is the TPU-native form sphere_rayleigh_flat emits
+    for y = 2Ax so the engine's reductions read only x and no hoisted
+    loop-invariant y is materialized (flat_cg._norm_U)."""
     n = 600
     rng = np.random.default_rng(3)
     d = jnp.asarray(rng.uniform(0.5, 50.0, n))
@@ -460,12 +464,12 @@ def test_adjoint_form_u_entry_matches_stored():
                         kappa_fgr=1e-8, theta=1.0)
         rb = stpcg_flat(g, A0, U_stored, B, Delta, max_iterations=300,
                         kappa_fgr=1e-8, theta=1.0)
-        assert int(ra.num_iterations) == int(rb.num_iterations)
+        assert abs(int(ra.num_iterations) - int(rb.num_iterations)) <= 1
         np.testing.assert_allclose(np.asarray(ra.s), np.asarray(rb.s),
-                                   rtol=1e-10, atol=1e-12)
+                                   rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(float(ra.predicted_decrease),
                                    float(rb.predicted_decrease),
-                                   rtol=1e-10)
+                                   rtol=1e-8)
 
 
 @pytest.mark.parametrize("body_kind", ["single", "pair"])
