@@ -295,6 +295,7 @@ def _stpcg_flat_pair(
     epsilon: float = 1e-8,
     init: Optional[FlatCGInit] = None,
     body_kind: str = "auto",
+    kernel_check: bool = True,
 ) -> FlatCGResult:
     """The round-2 pair-deferred engine: ONE fused ~6n-word pass + ONE
     reduction sync per CG iteration (s updates merged across unrolled
@@ -308,6 +309,21 @@ def _stpcg_flat_pair(
     ``init`` (a :class:`FlatCGInit` from :func:`flat_init_dots`) supplies
     the pre-loop dot group, removing every memory pass and reduction sync
     before the while loop.
+
+    ``kernel_check=False`` drops the kernel-of-H safeguard
+    (``IterativeSolvers.h:163-165,300-338``: |Hp| < eps |p| -> walk to the
+    boundary with descent-aligned sign).  Everything the safeguard needs —
+    the |q_k|^2 recurrence (ww/wq/qq) and its fresh anchors nr = |A0 r|^2
+    and pa = <A0 r, A0 p> — then dead-codes out of the per-iteration pass,
+    which matters in the VMEM-resident regime where the pass is
+    VPU-op-bound.  Semantics change ONLY on subproblems where some CG
+    direction has |Hp| < 1e-8 |p|: such a step now exits through the
+    negative-curvature/trust-region boundary branch with positive sign
+    instead of the kernel branch's descent alignment (the alignment
+    differs only when <r,p> > 0, which exact CG never produces — see the
+    sign adjudication at linalg/stpcg.py).  Opt in when the quadratic
+    model certifies no eps-kernel along tangent directions (e.g. the
+    sphere Rayleigh Hessian away from an eps-degenerate spectral gap).
     """
     n = g.shape[0]
     dtype = g.dtype
@@ -398,15 +414,6 @@ def _stpcg_flat_pair(
         wr = st.ar + st.m @ Bm
         kappa = wr - (beta / st.alpha_prev) * st.rv
 
-        # |w_k|^2, <w_k, q_{k-1}>, |q_{k-1}|^2 from the carried dot group
-        # (w = A0 r + U B U'r, q_{k-1} = A0 p_{k-1} + U B U'p_{k-1};
-        # UU = U'U precomputed outside the loop)
-        Bmp = B @ st.mp
-        ww = st.nr + 2.0 * (st.mA @ Bm) + Bm @ (UU @ Bm)
-        wq = st.pa + st.mA @ Bmp + Bm @ st.mB + Bm @ (UU @ Bmp)
-        qq_prev = st.nAp + 2.0 * (st.mB @ Bmp) + Bmp @ (UU @ Bmp)
-        # |q_k|^2 = |w|^2 - 2 beta <w, q_{k-1}> + beta^2 |q_{k-1}|^2
-        qq_k = ww - 2.0 * beta * wq + beta * beta * qq_prev
         # |p_k|^2 = rv + beta^2 |p_{k-1}|^2
         pp_k = st.rv + beta * beta * st.pp_prev
         # <p_k, r_k> = -rv + beta (<p,r>_{k-1} + alpha_{k-1} kappa_{k-1})
@@ -414,9 +421,25 @@ def _stpcg_flat_pair(
         # <s_k, p_k> = beta (<s_{k-1},p_{k-1}> + alpha_{k-1}|p_{k-1}|^2)
         sp_k = beta * (st.s_p + st.alpha_prev * st.pp_prev)
 
-        in_kernel = qq_k < eps2 * pp_k
-        sign = jnp.where(in_kernel & (pr_k > 0), -jnp.ones((), sdt),
-                         jnp.ones((), sdt))
+        if kernel_check:
+            # |w_k|^2, <w_k, q_{k-1}>, |q_{k-1}|^2 from the carried dot
+            # group (w = A0 r + U B U'r, q_{k-1} = A0 p_{k-1} + U B
+            # U'p_{k-1}; UU = U'U precomputed outside the loop)
+            Bmp = B @ st.mp
+            ww = st.nr + 2.0 * (st.mA @ Bm) + Bm @ (UU @ Bm)
+            wq = st.pa + st.mA @ Bmp + Bm @ st.mB + Bm @ (UU @ Bmp)
+            qq_prev = st.nAp + 2.0 * (st.mB @ Bmp) + Bmp @ (UU @ Bmp)
+            # |q_k|^2 = |w|^2 - 2 beta <w, q_{k-1}> + beta^2 |q_{k-1}|^2
+            qq_k = ww - 2.0 * beta * wq + beta * beta * qq_prev
+            in_kernel = qq_k < eps2 * pp_k
+            sign = jnp.where(in_kernel & (pr_k > 0), -jnp.ones((), sdt),
+                             jnp.ones((), sdt))
+        else:
+            # kernel safeguard disabled (see engine docstring): the |q|^2
+            # machinery and its anchors (nr/pa/nAp) dead-code out of the
+            # fused pass below.
+            in_kernel = jnp.asarray(False)
+            sign = jnp.ones((), sdt)
         sp_eff = sign * sp_k
         disc = sp_eff * sp_eff + pp_k * (Delta2 - st.sk2)
         sigma = (-sp_eff + jnp.sqrt(jnp.maximum(disc, 0.0))) \
@@ -466,19 +489,22 @@ def _stpcg_flat_pair(
         # the pass is VPU-op-bound, so dropping three fresh reductions
         # (and A0 p's only reduction-side consumer) pays directly.
         mB2 = -st.mA + beta * st.mB
-        nAp2 = st.nr - 2.0 * beta * st.pa + beta * beta * st.nAp
         # U'r_{k+1} by the same exact order-2 class:  r2 = r + cr q2 with
         # q2 = A0 p2 + U B (U'p2),  so  U'r2 = U'r + cr (U'(A0 p2)
         # + (U'U) B (U'p2)) — every term already carried/known.  The mp
         # recurrence stays anchored by mA2's fresh dots each half.
         m2 = st.m + cr * (mB2 + (UU @ (B @ mp_k) if k_lr else mB2 * 0))
         A0r2 = A0(r2).astype(sdt)
-        A0p2 = A0(p2).astype(sdt)
         rv2 = _dot(r2, r2)
         ar2 = _dot(A0r2, r2)
-        nr2 = _dot(A0r2, A0r2)
         mA2 = Udots(A0r2)
-        pa2 = _dot(A0r2, A0p2)
+        if kernel_check:
+            A0p2 = A0(p2).astype(sdt)
+            nr2 = _dot(A0r2, A0r2)
+            pa2 = _dot(A0r2, A0p2)
+            nAp2 = st.nr - 2.0 * beta * st.pa + beta * beta * st.nAp
+        else:
+            nr2 = pa2 = nAp2 = zero
 
         exit_now = boundary | frozen
 
@@ -548,6 +574,7 @@ def stpcg_flat(
     solve_mode: bool = False,
     init: Optional[FlatCGInit] = None,
     body_kind: str = "auto",
+    kernel_check: bool = True,
 ) -> FlatCGResult:
     """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
     H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
@@ -592,18 +619,29 @@ def stpcg_flat(
       computed in an earlier fused pass (e.g. a TNT ``step_eval``); the
       pair engine then runs zero passes/syncs before its loop.  Pair
       engine only.
+    - ``kernel_check=False`` (pair engine only) drops the kernel-of-H
+      epsilon safeguard and with it the |q|^2 recurrence plus its fresh
+      anchor dots (nr/pa) — an op-count cut for the VMEM-resident regime.
+      Only for subproblems certifying no eps-kernel along CG directions
+      (see :func:`_stpcg_flat_pair`'s docstring for the exact semantics
+      delta).
     """
     if s_steps <= 1 and not solve_mode:
         return _stpcg_flat_pair(g, A0, U, B, Delta,
                                 max_iterations=max_iterations,
                                 kappa_fgr=kappa_fgr, theta=theta,
                                 epsilon=epsilon, init=init,
-                                body_kind=body_kind)
+                                body_kind=body_kind,
+                                kernel_check=kernel_check)
     if init is not None:
         raise ValueError(
             "init= (the precomputed pre-loop dot group) is only supported "
             "by the pair engine (s_steps=1, solve_mode=False); the s-step "
             "engine's init set is the depth-2S moment/low-rank group")
+    if not kernel_check:
+        raise ValueError(
+            "kernel_check=False is a pair-engine optimization (s_steps=1, "
+            "solve_mode=False); the s-step engine keeps the safeguard")
     return _stpcg_flat_sstep(g, A0, U, B, Delta,
                              max_iterations=max_iterations,
                              kappa_fgr=kappa_fgr, theta=theta,

@@ -75,6 +75,14 @@ class TNTParams(SmoothOptimizerParams):
     # only for small-n / cheap-operator subproblems where the per-sync
     # charge dominates (see flat_cg.py module docstring measurements).
     flat_s_steps: int = 1
+    # New (no reference counterpart): drop the flat engine's kernel-of-H
+    # epsilon safeguard (linalg/flat_cg.py stpcg_flat kernel_check) — an
+    # op-count cut for the VMEM-resident regime where the CG pass is
+    # VPU-op-bound (measured: removes ~half the U-group's per-iteration
+    # overhead at bf16 n=2^24, benchmarks/probe_ugroup.py).  Opt in only
+    # when the quadratic model certifies no eps-kernel along CG
+    # directions; pair engine (flat_s_steps=1) only.
+    flat_kernel_check: bool = True
 
     def validate(self) -> None:
         super().validate()
@@ -101,6 +109,9 @@ class TNTParams(SmoothOptimizerParams):
             raise ValueError("theta must be a nonnegative real number")
         if not (1 <= self.flat_s_steps <= 3):
             raise ValueError("flat_s_steps must be 1, 2, or 3")
+        if not self.flat_kernel_check and self.flat_s_steps > 1:
+            raise ValueError("flat_kernel_check=False requires the pair "
+                             "engine (flat_s_steps=1)")
 
 
 class TNTResult(NamedTuple):
@@ -304,7 +315,8 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
                             max_iterations=params.max_TPCG_iterations,
                             kappa_fgr=params.kappa_fgr, theta=params.theta,
-                            s_steps=params.flat_s_steps, init=initd)
+                            s_steps=params.flat_s_steps, init=initd,
+                            kernel_check=params.flat_kernel_check)
             flat_dm = cg.predicted_decrease
         else:
             flat_dm = None

@@ -495,3 +495,56 @@ def test_resolve_body_boundary():
     assert resolve_body(1 << 24, jnp.float32) == "pair"      # 256 MiB
     assert resolve_body(1 << 23, jnp.float32) == "single"
     assert resolve_body(1 << 10, jnp.float64) == "single"
+
+
+@pytest.mark.parametrize("body_kind", ["single", "pair"])
+def test_kernel_check_off_matches_generic(body_kind):
+    """``kernel_check=False`` (drop the kernel-of-H epsilon safeguard and
+    its |q|^2 recurrence + nr/pa anchor dots — the VMEM-resident-regime
+    op-count cut, benchmarks/probe_ugroup.py) must be bit-equivalent on
+    every subproblem without an eps-kernel direction: PD, indefinite
+    (negative-curvature boundary exits go through kappa <= 0, untouched),
+    and trust-region-binding regimes, on both loop bodies."""
+    for seed, shift in ((5, 1.0), (11, -30.0)):     # PD and indefinite
+        d, U, B, g, A0, Hv, Um = _diag_lowrank(seed=seed, shift=shift)
+        for Delta in (1e9, 0.5, 0.05):
+            ref = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                             kappa_fgr=0.05, theta=0.5, body_kind=body_kind)
+            res = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                             kappa_fgr=0.05, theta=0.5, body_kind=body_kind,
+                             kernel_check=False)
+            assert int(res.num_iterations) == int(ref.num_iterations), \
+                (seed, Delta)
+            np.testing.assert_array_equal(np.asarray(res.s),
+                                          np.asarray(ref.s))
+            np.testing.assert_array_equal(float(res.predicted_decrease),
+                                          float(ref.predicted_decrease))
+            np.testing.assert_array_equal(float(res.update_step_M_norm),
+                                          float(ref.update_step_M_norm))
+
+
+def test_kernel_check_off_sphere_structure_and_guards():
+    """kernel_check=False on the production sphere Rayleigh structure
+    (adjoint-form U) matches the default engine; the s-step engine
+    rejects the flag (it keeps the safeguard)."""
+    n = 500
+    rng = np.random.default_rng(21)
+    d = jnp.asarray(rng.uniform(0.5, 100.0, n))
+    x = jnp.asarray(rng.normal(size=n))
+    x = x / jnp.linalg.norm(x)
+    A0, U, B, rq = sphere_rayleigh_flat(x, lambda v: d * v)
+    g = jnp.asarray(rng.normal(size=n)) * 0.1
+    g = g - jnp.dot(g, x) * x
+    for Delta in (1e9, 0.3):
+        ra = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                        kappa_fgr=1e-6, theta=1.0)
+        rb = stpcg_flat(g, A0, U, B, Delta, max_iterations=300,
+                        kappa_fgr=1e-6, theta=1.0, kernel_check=False)
+        assert int(ra.num_iterations) == int(rb.num_iterations)
+        np.testing.assert_array_equal(np.asarray(ra.s), np.asarray(rb.s))
+
+    with pytest.raises(ValueError, match="kernel_check"):
+        stpcg_flat(g, A0, U, B, 1.0, s_steps=2, kernel_check=False)
+    from optimization_tpu.solvers import tnt
+    with pytest.raises(ValueError, match="flat_kernel_check"):
+        tnt.TNTParams(flat_s_steps=2, flat_kernel_check=False).validate()
