@@ -22,8 +22,24 @@ methodology: C data-dependent calls inside one jit so the tunnel's
      boundary-exits), kernel_check=True   (the ~209 us production shape)
   C  same U group, kernel_check=False     (the candidate cut)
 
-(Measured verdict recorded below after the run — see docs/ROADMAP.md
-"Headline flat CG" for the numbers in context.)
+MEASURED VERDICT (2026-08-18, v5e, bf16 n=2^24, 4-chain two-point
+slopes): the cut LOSES, decisively —
+
+  A  U-free,  kernel_check=True     64.9 us/CG-iter
+  B  sphere U, kernel_check=True   184.1 us/CG-iter  (the production shape)
+  C  sphere U, kernel_check=False  318.4 us/CG-iter  (0.58x of B)
+
+Removing two reduction outputs + one elementwise A-application made the
+resident pass 1.7x SLOWER: this runtime's fusion/tiling heuristics
+reward the wider 6-output reduction group, the same phenomenon that
+sank the s-step engine (30-45-output groups split the fusion the OTHER
+way — there is evidently a fusion-shape sweet spot near the production
+group) and the interleaved-state probe.  Op COUNT is not the resident
+regime's currency after all; fusion SHAPE is.  kernel_check=False stays
+as a tested, semantically-safe opt-in for other runtimes; every default
+keeps the safeguard.  (Side finding: the U-free arm measured 64.9
+us/iter against the 108 recorded mid-round — the post-outage tunnel has
+partially recovered, consistent with bench.py's same-day headline.)
 
 Usage: ``python benchmarks/probe_ugroup.py [n_log2=24] [dtype=bf16|f32]``.
 """

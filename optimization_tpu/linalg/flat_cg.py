@@ -314,9 +314,12 @@ def _stpcg_flat_pair(
     (``IterativeSolvers.h:163-165,300-338``: |Hp| < eps |p| -> walk to the
     boundary with descent-aligned sign).  Everything the safeguard needs —
     the |q_k|^2 recurrence (ww/wq/qq) and its fresh anchors nr = |A0 r|^2
-    and pa = <A0 r, A0 p> — then dead-codes out of the per-iteration pass,
-    which matters in the VMEM-resident regime where the pass is
-    VPU-op-bound.  Semantics change ONLY on subproblems where some CG
+    and pa = <A0 r, A0 p> — then dead-codes out of the per-iteration pass.
+    Hypothesized as a VMEM-resident-regime op cut; MEASURED 1.7x SLOWER
+    there (benchmarks/probe_ugroup.py: the narrower reduction group loses
+    XLA's fusion sweet spot), so every default keeps the safeguard and the
+    flag targets runtimes that genuinely charge per op.
+    Semantics change ONLY on subproblems where some CG
     direction has |Hp| < 1e-8 |p|: such a step now exits through the
     negative-curvature/trust-region boundary branch with positive sign
     instead of the kernel branch's descent alignment (the alignment
@@ -621,10 +624,12 @@ def stpcg_flat(
       engine only.
     - ``kernel_check=False`` (pair engine only) drops the kernel-of-H
       epsilon safeguard and with it the |q|^2 recurrence plus its fresh
-      anchor dots (nr/pa) — an op-count cut for the VMEM-resident regime.
-      Only for subproblems certifying no eps-kernel along CG directions
-      (see :func:`_stpcg_flat_pair`'s docstring for the exact semantics
-      delta).
+      anchor dots (nr/pa).  Only for subproblems certifying no eps-kernel
+      along CG directions (see :func:`_stpcg_flat_pair`'s docstring for
+      the exact semantics delta).  NB measured SLOWER on this runtime
+      (1.7x at bf16 n=2^24 — the narrower reduction group loses the
+      fusion sweet spot, benchmarks/probe_ugroup.py); defaults keep the
+      safeguard, the flag is for runtimes that charge per op.
     """
     if s_steps <= 1 and not solve_mode:
         return _stpcg_flat_pair(g, A0, U, B, Delta,

@@ -76,12 +76,15 @@ class TNTParams(SmoothOptimizerParams):
     # charge dominates (see flat_cg.py module docstring measurements).
     flat_s_steps: int = 1
     # New (no reference counterpart): drop the flat engine's kernel-of-H
-    # epsilon safeguard (linalg/flat_cg.py stpcg_flat kernel_check) — an
-    # op-count cut for the VMEM-resident regime where the CG pass is
-    # VPU-op-bound (measured: removes ~half the U-group's per-iteration
-    # overhead at bf16 n=2^24, benchmarks/probe_ugroup.py).  Opt in only
-    # when the quadratic model certifies no eps-kernel along CG
-    # directions; pair engine (flat_s_steps=1) only.
+    # epsilon safeguard (linalg/flat_cg.py stpcg_flat kernel_check),
+    # pruning two reduction outputs + one A-application from the fused
+    # pass.  Measured on THIS runtime it is 1.7x SLOWER (v5e bf16 n=2^24:
+    # 318 vs 184 us/CG-iter — the narrower reduction group loses XLA's
+    # fusion sweet spot; benchmarks/probe_ugroup.py), so the default
+    # stays True everywhere; the flag is a tested, semantically-safe
+    # opt-in for runtimes whose cost model genuinely charges per op.
+    # Only valid when the quadratic model certifies no eps-kernel along
+    # CG directions; pair engine (flat_s_steps=1) only.
     flat_kernel_check: bool = True
 
     def validate(self) -> None:
