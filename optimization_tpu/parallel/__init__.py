@@ -1,2 +1,3 @@
 from . import collectives, consensus, mesh, sharding
-from .mesh import BATCH, MODEL, batch_mesh, make_mesh, model_mesh
+from .mesh import (BATCH, MODEL, batch_mesh, initialize_distributed,
+                   make_mesh, model_mesh)

@@ -25,6 +25,32 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# Sanitizer-analog CI pass (SURVEY.md section 5: the TPU stand-in for
+# TSan/ASan is NaN debugging + deterministic collectives).  Run as
+#     OPTTPU_DEBUG_NANS=1 python -m pytest tests/ -q -m "not slow"
+# jax_debug_nans re-runs any jit whose OUTPUT contains NaN in op-by-op
+# mode and raises at the producing op — catching unintended NaNs in the
+# whole linalg/manifold/parallel compute path.  Tests whose outputs
+# legitimately carry NaN (NaN-padded trace arrays are part of the solver
+# result contract; some fixtures inject NaN rho on purpose) are marked
+# ``nan_traces`` and skipped under this mode.  Determinism of the sharded
+# collectives is asserted unconditionally in test_parallel.py
+# (bitwise-identical repeat of a sharded solve).
+DEBUG_NANS = bool(os.environ.get("OPTTPU_DEBUG_NANS"))
+if DEBUG_NANS:
+    jax.config.update("jax_debug_nans", True)
+
+
+def pytest_collection_modifyitems(config, items):
+    if not DEBUG_NANS:
+        return
+    skip = pytest.mark.skip(
+        reason="outputs legitimately carry NaN (nan_traces marker); "
+               "excluded from the OPTTPU_DEBUG_NANS sanitizer pass")
+    for item in items:
+        if "nan_traces" in item.keywords:
+            item.add_marker(skip)
+
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_per_module():

@@ -10,6 +10,9 @@ from optimization_tpu import (euclidean_gradient_descent, euclidean_tnls,
 from optimization_tpu.core.types import (GradientDescentStatus, TNLSStatus,
                                          TNTStatus)
 from optimization_tpu.solvers import gradient_descent, tnls, tnt
+import pytest
+
+pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 
 def rosenbrock(x, data):

@@ -16,6 +16,10 @@ import numpy as np
 
 from optimization_tpu.linalg.lobpcg import lobpcg, lobpcg_fleet, rayleigh_ritz
 
+import pytest
+
+pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
+
 N = 1000
 NX = 10
 NEV = 5

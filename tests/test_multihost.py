@@ -12,15 +12,64 @@ the cross-host collectives function on real DCN.
 """
 
 import os
+import socket
+import subprocess
+import sys
 
 import pytest
 
 RUN = os.environ.get("RUN_MULTIHOST", "")
 
-pytestmark = pytest.mark.skipif(
+requires_cluster = pytest.mark.skipif(
     not RUN, reason="multi-host smoke tests need RUN_MULTIHOST=1 + a cluster")
 
 
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_localhost_two_process_psum():
+    """Two-process jax.distributed smoke on 127.0.0.1 (no pod needed).
+
+    Spawns two fresh CPU-backend python processes that wire up
+    ``initialize_distributed`` against a local coordinator and run a
+    cross-process sharded reduction + an explicit shard_map psum
+    (tests/_multihost_child.py).  Skips only if the runtime forbids
+    spawning or the distributed service cannot bind; a numeric mismatch
+    or wiring error in the children FAILS.
+    """
+    coord = f"127.0.0.1:{_free_port()}"
+    child = os.path.join(os.path.dirname(__file__), "_multihost_child.py")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # belt-and-braces; child pins via config
+    procs = []
+    try:
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [sys.executable, child, coord, "2", str(pid)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True, env=env))
+    except OSError as e:  # runtime forbids spawning
+        pytest.skip(f"cannot spawn subprocesses: {e}")
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=180)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("localhost multihost children timed out (180 s)")
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed (rc={rc}):\n{err[-2000:]}"
+        # Gloo prints a connection banner before the child's OK line
+        assert any(l.startswith("OK") for l in out.splitlines()), (
+            out, err[-2000:])
+
+
+@requires_cluster
 def test_distributed_psum_and_sharded_tnt():
     import jax
 

@@ -38,6 +38,7 @@ def f_sphere(x, data):
     return jnp.sum(d * d)
 
 
+@pytest.mark.nan_traces
 def test_scenario_sharded_tnt_matches_single_device():
     """DP: 8 sphere instances sharded over an 8-device batch mesh."""
     mesh = batch_mesh(8)
@@ -58,6 +59,7 @@ def test_scenario_sharded_tnt_matches_single_device():
     assert (np.asarray(res.status) == TNTStatus.GRADIENT).all()
 
 
+@pytest.mark.nan_traces
 def test_block_partitioned_tnt_matches_single_device():
     """TP-analog: Rayleigh quotient on S^{n-1} with x sharded over 'model'.
 
@@ -90,6 +92,7 @@ def test_block_partitioned_tnt_matches_single_device():
                                np.abs(np.asarray(ref.x)), atol=1e-6)
 
 
+@pytest.mark.nan_traces
 def test_consensus_admm_lasso():
     """Consensus ADMM: split a LASSO across 8 scenario shards; the solution
     matches the full-data FISTA objective."""
@@ -273,6 +276,7 @@ def test_consensus_scenario_count_guard():
         inferred.minLx(z, lam, 1.0, None)
 
 
+@pytest.mark.nan_traces
 def test_dp_sharded_lobpcg_fleet_matches_single_device():
     """DP x fleet: the vmapped LOBPCG fleet sharded over the 8-device batch
     mesh must reproduce the single-device fleet exactly (no cross-instance
@@ -300,3 +304,62 @@ def test_dp_sharded_lobpcg_fleet_matches_single_device():
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(res.X), np.asarray(ref.X),
                                rtol=0, atol=0)
+
+
+def test_sharded_collectives_deterministic():
+    """Sanitizer-analog CI, determinism leg (SURVEY.md section 5): repeated
+    executions of the sharded collective reductions must be BITWISE
+    identical — XLA's all-reduce order on a fixed mesh is deterministic,
+    and solver-level reproducibility (the parity tests above) rests on it.
+    Runs under OPTTPU_DEBUG_NANS too (no NaN carriers here)."""
+    from jax.experimental.shard_map import shard_map
+
+    mesh = model_mesh(8)
+    n = 4096
+    v = jax.random.normal(jax.random.PRNGKey(7), (n,))
+    w = jax.random.normal(jax.random.PRNGKey(8), (n,))
+    v_sh = shard_model_vector(v, mesh)
+    w_sh = shard_model_vector(w, mesh)
+
+    dot = jax.jit(shard_map(
+        lambda a, b: collectives.pdot(a, b, "model"),
+        mesh=mesh, in_specs=(P("model"), P("model")), out_specs=P()))
+    outs = {float(dot(v_sh, w_sh)) for _ in range(5)}
+    assert len(outs) == 1, f"nondeterministic sharded pdot: {outs}"
+
+    nrm = jax.jit(shard_map(
+        lambda a: collectives.pnorm(a, "model"),
+        mesh=mesh, in_specs=(P("model"),), out_specs=P()))
+    outs = {float(nrm(v_sh)) for _ in range(5)}
+    assert len(outs) == 1, f"nondeterministic sharded pnorm: {outs}"
+
+
+@pytest.mark.nan_traces
+def test_sharded_tnt_deterministic():
+    """Determinism leg at the solver level: the block-partitioned TNT solve
+    (every metric reduction a GSPMD-inserted psum) repeated on the same
+    sharded inputs must return bitwise-identical iterates and traces."""
+    n = 1024
+    d = jnp.linspace(1.0, 100.0, n)
+
+    def f(x, data):
+        return jnp.dot(x, data * x)
+
+    problem = RiemannianProblem(f=f, manifold=sphere())
+    params = tnt.TNTParams(
+        gradient_tolerance=1e-8, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0,
+        max_iterations=200)
+    mesh = model_mesh(8)
+    x0_sh = shard_model_vector(sphere().rand(jax.random.PRNGKey(42), n), mesh)
+    d_sh = shard_model_vector(d, mesh)
+
+    r1 = tnt.solve(problem, x0_sh, params, data=d_sh)
+    r2 = tnt.solve(problem, x0_sh, params, data=d_sh)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+    np.testing.assert_array_equal(np.asarray(r1.f), np.asarray(r2.f))
+    # traces too (NaN pads compare equal under array_equal)
+    np.testing.assert_array_equal(np.asarray(r1.objective_values),
+                                  np.asarray(r2.objective_values))
+    np.testing.assert_array_equal(np.asarray(r1.gradient_norms),
+                                  np.asarray(r2.gradient_norms))

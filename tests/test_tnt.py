@@ -17,6 +17,9 @@ from optimization_tpu import RiemannianProblem
 from optimization_tpu.core.types import TNTStatus
 from optimization_tpu.manifolds import euclidean, sphere
 from optimization_tpu.solvers import tnt
+import pytest
+
+pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 EPS = 1e-8
 
