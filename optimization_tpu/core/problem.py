@@ -62,6 +62,16 @@ class RiemannianProblem:
     # aux carry) — and TNT forwards it to ``stpcg_flat(init=)`` so the
     # subproblem starts with zero reductions (pair engine only).
     flat_qm: Optional[Callable[..., Any]] = None
+    # Optional elementwise preconditioner for the flat engine:
+    # ``flat_prec(x, data) -> (v -> M^{-1/2} v)`` returns the elementwise,
+    # linear, self-adjoint, positive map the flat CG folds in symmetrically
+    # (see ``linalg.flat_cg.stpcg_flat(prec=)``; reference hot-loop
+    # preconditioning ``IterativeSolvers.h:236-252,388-404``).  When set
+    # together with ``flat_qm``, TNT keeps the subproblem on the flat
+    # engine instead of falling back to generic STPCG; set ``precon`` to
+    # the consistent full application M^{-1} v = P(P(v)) so the
+    # preconditioned-gradient stopping/trace agree.
+    flat_prec: Optional[Callable[..., Any]] = None
     # Optional fused trial-step evaluator for TNT's outer iteration:
     # ``step_eval(x, h, data) -> (x_prop, f_prop, grad_prop, gradnorm_prop)``
     # computes the retraction, trial objective, and trial Riemannian

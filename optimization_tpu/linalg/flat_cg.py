@@ -562,6 +562,37 @@ def _stpcg_flat_pair(
 
 
 
+def _fold_prec(g, A0, U, B, prec, sdt):
+    """Symmetric preconditioner folding: the change of variables s = P shat
+    with P = ``prec`` (an elementwise, linear, self-adjoint, positive map
+    applying M^{-1/2}) turns the M-preconditioned trust-region subproblem
+    into a PLAIN one over (ghat, A0hat, Uhat, B):
+
+        ghat = P g,   A0hat = P A0 P,   Uhat_j = P U_j.
+
+    Euclidean norms in the transformed space ARE the reference's
+    preconditioned norms: |rhat| = |r|_{M^{-1}} (the truncation norm,
+    ``IterativeSolvers.h:275-291``) and |shat| = |s|_M (the trust-region /
+    step norm tracked by the M-norm recurrences,
+    ``IterativeSolvers.h:388-420``), so running the unmodified engine on
+    the transformed data reproduces the reference's preconditioned STPCG
+    exactly, at ZERO extra streams per iteration when ``prec`` is a
+    generated elementwise map (the composition fuses).
+    """
+    U, B = _norm_U(U, B, sdt)
+
+    def wrap(u: _UEntry) -> _UEntry:
+        # self-adjointness: <P u, v> = <u, P v>, so the transformed dot
+        # reuses the entry's own (possibly adjoint-form) reduction.
+        return _UEntry(mat=lambda: prec(u.mat()),
+                       dot=lambda v: u.dot(prec(v)),
+                       mat_scaled=lambda c: prec(u.mat_scaled(c)))
+
+    ghat = prec(g.astype(sdt)).astype(g.dtype)
+    A0hat = lambda v: prec(A0(prec(v)).astype(sdt))
+    return ghat, A0hat, tuple(wrap(u) for u in U), B
+
+
 def stpcg_flat(
     g: jnp.ndarray,
     A0: Callable[[jnp.ndarray], jnp.ndarray],
@@ -578,6 +609,7 @@ def stpcg_flat(
     init: Optional[FlatCGInit] = None,
     body_kind: str = "auto",
     kernel_check: bool = True,
+    prec: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> FlatCGResult:
     """Approximately solve  min <g,s> + 1/2 <s, Hs>  s.t. |s| <= Delta  for
     H = A0 + U B U', with STPCG truncation/boundary/kernel semantics.
@@ -612,9 +644,20 @@ def stpcg_flat(
       plain relative-residual tolerance ``kappa_fgr * |r0|``.  This is the
       communication-avoiding inner-solver seam (e.g. the marginalized
       SE-Sync translation-Laplacian solve, models/pose_sync.py).
-    - Euclidean metric, no explicit preconditioner seam: fold a Jacobi/
-      diagonal preconditioner in symmetrically (A0 = D^-1/2 H D^-1/2) and
-      rank-deficiency projectors into the U B U' term (pose_sync does both).
+    - ``prec``: optional ELEMENTWISE, linear, self-adjoint, positive map
+      applying M^{-1/2} (e.g. ``lambda v: v * jax.lax.rsqrt(d_gen())`` for a
+      Jacobi preconditioner with generated diagonal d).  Folds the
+      preconditioner in symmetrically (:func:`_fold_prec`): truncation runs
+      in the |.|_{M^{-1}} residual norm and the trust region / reported
+      step norm in the |.|_M norm — exactly the reference's preconditioned
+      STPCG semantics (``IterativeSolvers.h:236-291,388-420``) — at zero
+      extra streams per iteration when ``prec`` is generated elementwise.
+      The one semantic deviation: the kernel-of-H epsilon safeguard tests
+      the TRANSFORMED operator (|P H P p| < eps |p|), not H itself — an
+      epsilon-regime difference only.  Works with both engines and
+      solve_mode; incompatible with ``init=``.  Non-elementwise
+      rank-deficiency projectors still fold into the U B U' term
+      (pose_sync does).
     - vmap-safe: under ``jax.vmap`` the while_loop body keeps executing on
       lanes whose own condition already failed; every state write is gated
       on the lane's live-ness so finished lanes are bit-frozen.
@@ -631,6 +674,23 @@ def stpcg_flat(
       fusion sweet spot, benchmarks/probe_ugroup.py); defaults keep the
       safeguard, the flag is for runtimes that charge per op.
     """
+    if prec is not None:
+        if init is not None:
+            raise ValueError(
+                "init= (the precomputed pre-loop dot group) is computed in "
+                "untransformed coordinates and cannot be combined with "
+                "prec=; compute the group on the transformed data instead")
+        sdt = _acc_dt(g)
+        ghat, A0hat, Uhat, Bhat = _fold_prec(g, A0, U, B, prec, sdt)
+        res = stpcg_flat(ghat, A0hat, Uhat, Bhat, Delta,
+                         max_iterations=max_iterations, kappa_fgr=kappa_fgr,
+                         theta=theta, epsilon=epsilon, s_steps=s_steps,
+                         solve_mode=solve_mode, body_kind=body_kind,
+                         kernel_check=kernel_check)
+        # un-transform the step; the M-norm and model decrease are already
+        # the reference's preconditioned quantities (see _fold_prec).
+        return res._replace(
+            s=prec(res.s.astype(sdt)).astype(g.dtype))
     if s_steps <= 1 and not solve_mode:
         return _stpcg_flat_pair(g, A0, U, B, Delta,
                                 max_iterations=max_iterations,

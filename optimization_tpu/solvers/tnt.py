@@ -300,7 +300,12 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         # STEP 2: trust-region subproblem (reference TNT.h:489-492) — via
         # the single-synchronization flat engine when the problem supplies
         # the structured Hessian (linalg/flat_cg.py), else generic STPCG.
-        if problem.flat_qm is not None and problem.precon is None:
+        # A preconditioned problem stays on the flat engine iff it also
+        # supplies the elementwise ``flat_prec`` seam (the hot-loop-native
+        # preconditioning of reference IterativeSolvers.h:236-252,388-404).
+        use_flat = problem.flat_qm is not None and (
+            problem.precon is None or problem.flat_prec is not None)
+        if use_flat:
             from ..linalg.flat_cg import stpcg_flat
 
             if st.aux is not None:
@@ -310,16 +315,19 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             # Optional 4th element: the engine's pre-loop dot group
             # (FlatCGInit), carried through the aux seam from step_eval so
             # the subproblem starts with zero reductions.  Pair engine
-            # only — with s_steps >= 2 it is dropped.
+            # only — with s_steps >= 2 or a preconditioner it is dropped.
             A0, Uf, Bf = qm_out[:3]
             initd = qm_out[3] if len(qm_out) > 3 else None
-            if params.flat_s_steps > 1:
+            prec_fn = (problem.flat_prec(x, data)
+                       if problem.flat_prec is not None else None)
+            if params.flat_s_steps > 1 or prec_fn is not None:
                 initd = None
             cg = stpcg_flat(grad, A0, Uf, Bf, st.Delta,
                             max_iterations=params.max_TPCG_iterations,
                             kappa_fgr=params.kappa_fgr, theta=params.theta,
                             s_steps=params.flat_s_steps, init=initd,
-                            kernel_check=params.flat_kernel_check)
+                            kernel_check=params.flat_kernel_check,
+                            prec=prec_fn)
             flat_dm = cg.predicted_decrease
         else:
             flat_dm = None
@@ -332,9 +340,12 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
                        kappa_fgr=params.kappa_fgr, theta=params.theta,
                        precon=precon_fn, fused_dots=params.fused_dots)
         h, h_M_norm = cg.s, cg.update_step_M_norm
-        # In the flat branch the metric is the ambient Euclidean dot (part
-        # of the flat_qm contract), so |h| == |h|_M — no extra pass.
-        h_norm = (h_M_norm if flat_dm is not None
+        # In the unpreconditioned flat branch the metric is the ambient
+        # Euclidean dot (part of the flat_qm contract), so |h| == |h|_M —
+        # no extra pass.  With flat_prec the M-norm is the preconditioner
+        # norm, so the Euclidean step norm costs one extra reduction.
+        h_norm = (h_M_norm
+                  if flat_dm is not None and problem.flat_prec is None
                   else jnp.sqrt(inner(h, h)))
 
         # STEP 3: trial point and gain ratio (reference TNT.h:505-532).

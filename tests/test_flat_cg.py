@@ -149,6 +149,7 @@ class TestParityWithGeneric:
             atol=0.05 * float(jnp.linalg.norm(ref.s)))
 
 
+@pytest.mark.nan_traces
 def test_tnt_flat_qm_matches_generic():
     """TNT with problem.flat_qm runs the flat engine and converges to the
     same optimum as the generic path on the benchmark problem family."""
@@ -218,6 +219,7 @@ def test_predicted_decrease_matches_explicit_dm():
                                rtol=1e-7)
 
 
+@pytest.mark.nan_traces
 def test_step_eval_matches_separate_evaluation():
     """The fused sphere Rayleigh step evaluator (problem.step_eval) is
     algebraically identical to retract -> f -> rgrad, and TNT with it
@@ -295,6 +297,7 @@ def test_step_eval_matches_separate_evaluation():
     assert float(r1.gradfx_norm) < 1e-6
 
 
+@pytest.mark.nan_traces
 class TestInitThreading:
     """stpcg_flat(init=flat_init_dots(...)) must be numerically invisible:
     the same helper computes the same dots the engine would, so supplying
@@ -548,3 +551,136 @@ def test_kernel_check_off_sphere_structure_and_guards():
     from optimization_tpu.solvers import tnt
     with pytest.raises(ValueError, match="flat_kernel_check"):
         tnt.TNTParams(flat_s_steps=2, flat_kernel_check=False).validate()
+
+
+class TestPreconditionedFlat:
+    """The prec= seam (symmetric folding) == generic preconditioned STPCG.
+
+    Reference semantics under test (``IterativeSolvers.h:236-291,388-420``):
+    v = M^{-1} r inner products, truncation in the |.|_{M^{-1}} residual
+    norm, trust region and reported step norm in |.|_M.
+    """
+
+    @staticmethod
+    def _setup(seed=11, n=300, cond=1e4):
+        rng = np.random.default_rng(seed)
+        d = jnp.asarray(rng.uniform(1.0, cond, n))       # ill-conditioned
+        Um = jnp.asarray(rng.normal(size=(n, 2)) / np.sqrt(n))
+        U = (Um[:, 0], Um[:, 1])
+        Bm = jnp.asarray(rng.normal(size=(2, 2)))
+        B = 0.5 * (Bm + Bm.T) + 2.0 * jnp.eye(2)
+        g = jnp.asarray(rng.normal(size=n))
+        A0 = lambda v: d * v
+        Hv = lambda v: A0(v) + Um @ (B @ (Um.T @ v))
+        prec = lambda v: v * jax.lax.rsqrt(d)            # M^{-1/2}, M = D
+        gen_precon = lambda r: (r / d, None)             # M^{-1} r
+        return d, U, B, g, A0, Hv, prec, gen_precon
+
+    def test_exact_regime_matches_direct(self):
+        d, U, B, g, A0, Hv, prec, _ = self._setup()
+        res = stpcg_flat(g, A0, U, B, 1e9, max_iterations=3000,
+                         kappa_fgr=1e-10, theta=0.999, prec=prec)
+        n = g.shape[0]
+        Um = jnp.stack(U, axis=1)
+        H = (np.diag(np.asarray(d)) + np.asarray(Um) @ np.asarray(B)
+             @ np.asarray(Um).T)
+        s_direct = -np.linalg.solve(H, np.asarray(g))
+        np.testing.assert_allclose(np.asarray(res.s), s_direct,
+                                   rtol=1e-6, atol=1e-9)
+        # reported step norm is the M-norm |s|_D
+        m_norm = float(np.sqrt(s_direct @ (np.asarray(d) * s_direct)))
+        np.testing.assert_allclose(float(res.update_step_M_norm), m_norm,
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("Delta", [1e9, 1.0, 1e-2])
+    def test_matches_generic_preconditioned(self, Delta):
+        d, U, B, g, A0, Hv, prec, gen_precon = self._setup(seed=23)
+
+        # generic engine: M-norm inner product is implicit in its
+        # recurrences; precon returns (M^{-1} r, None)
+        ref = stpcg(g, Hv, DOT, Delta, max_iterations=400,
+                    kappa_fgr=0.05, theta=0.5, precon=gen_precon)
+        res = stpcg_flat(g, A0, U, B, Delta, max_iterations=400,
+                         kappa_fgr=0.05, theta=0.5, prec=prec)
+        assert int(res.num_iterations) == int(ref.num_iterations), Delta
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                   rtol=1e-5, atol=1e-9)
+        np.testing.assert_allclose(float(res.update_step_M_norm),
+                                   float(ref.update_step_M_norm), rtol=1e-6)
+
+    def test_sstep_engine_preconditioned(self):
+        d, U, B, g, A0, Hv, prec, gen_precon = self._setup(seed=31)
+        ref = stpcg(g, Hv, DOT, 2.0, max_iterations=200,
+                    kappa_fgr=0.05, theta=0.5, precon=gen_precon)
+        res = stpcg_flat(g, A0, U, B, 2.0, max_iterations=200,
+                         kappa_fgr=0.05, theta=0.5, s_steps=2, prec=prec)
+        assert int(res.num_iterations) == int(ref.num_iterations)
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                   rtol=1e-5, atol=1e-9)
+
+    def test_speedup_vs_unpreconditioned_iterations(self):
+        """The whole point: Jacobi preconditioning on an ill-conditioned
+        diagonal-dominant problem slashes CG iterations to the target."""
+        d, U, B, g, A0, Hv, prec, _ = self._setup(seed=7, cond=1e6)
+        plain = stpcg_flat(g, A0, U, B, 1e9, max_iterations=3000,
+                           kappa_fgr=1e-6, theta=0.9)
+        pc = stpcg_flat(g, A0, U, B, 1e9, max_iterations=3000,
+                        kappa_fgr=1e-6, theta=0.9, prec=prec)
+        assert int(pc.num_iterations) * 10 < int(plain.num_iterations)
+
+    def test_prec_rejects_init(self):
+        d, U, B, g, A0, Hv, prec, _ = self._setup()
+        from optimization_tpu.linalg.flat_cg import flat_init_dots
+        init = flat_init_dots(g, A0, U, B)
+        with pytest.raises(ValueError):
+            stpcg_flat(g, A0, U, B, 1.0, prec=prec, init=init)
+
+    def test_tnt_flat_prec_matches_generic_precon(self):
+        """TNT routes problem.flat_prec through the flat engine and matches
+        the generic preconditioned path's trajectory."""
+        from optimization_tpu import RiemannianProblem
+        from optimization_tpu.manifolds import sphere
+        from optimization_tpu.solvers import tnt
+
+        n = 1024
+        d = jnp.linspace(1.0, 1e5, n)
+        A_elem = lambda v: d * v
+        M = sphere()
+
+        def f(x, dd):
+            return jnp.dot(x, A_elem(x))
+
+        def grad(x, dd):
+            return M.proj(x, 2.0 * A_elem(x))
+
+        def flat_qm(x, dd):
+            A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+            return A0, U, B
+
+        # Jacobi on the dominant elementwise part: D = 2 d (a valid SPD
+        # preconditioner for both paths; both must see the SAME M)
+        prec_elem = lambda v: v * jax.lax.rsqrt(2.0 * d)
+
+        def flat_prec(x, dd):
+            return prec_elem
+
+        def precon(x, v, dd):
+            return M.proj(x, v / (2.0 * d))
+
+        params = tnt.TNTParams(
+            max_iterations=50, max_TPCG_iterations=200,
+            gradient_tolerance=1e-8, relative_decrease_tolerance=0.0,
+            stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+        x0 = M.rand(jax.random.PRNGKey(9), n)
+
+        flat = RiemannianProblem(f=f, manifold=M, grad=grad,
+                                 flat_qm=flat_qm, flat_prec=flat_prec,
+                                 precon=precon)
+        generic = RiemannianProblem(f=f, manifold=M, grad=grad,
+                                    precon=precon)
+        r_flat = tnt.solve(flat, x0, params, data=None)
+        r_gen = tnt.solve(generic, x0, params, data=None)
+
+        np.testing.assert_allclose(float(r_flat.f), float(r_gen.f),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(float(r_flat.f), 1.0, atol=1e-4)

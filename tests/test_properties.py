@@ -194,3 +194,49 @@ def test_chol_rr_matches_eigh_rr(seed, n, logkappa):
                                atol=1e-8 * max(scale, 1.0), rtol=1e-8)
     G = np.asarray(Cc).T @ B @ np.asarray(Cc)
     np.testing.assert_allclose(G, np.eye(n), atol=1e-8)
+
+
+@settings(**SETTINGS)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(8, 60),
+       rank=st.integers(0, 3),
+       delta=st.sampled_from([1e6, 1.0, 0.1]),
+       logcond=st.floats(0.5, 5.0),
+       s_steps=st.sampled_from([1, 2]))
+def test_flat_cg_preconditioned_matches_generic(seed, n, rank, delta,
+                                                logcond, s_steps):
+    """Property: the flat engine's symmetric-folding prec= seam reproduces
+    the generic engine's preconditioned STPCG (M = D Jacobi) — identical
+    iteration counts, matching steps, and the M-norm reported as the step
+    norm — across SPD spectra of varying conditioning, low-rank terms, and
+    interior/boundary regimes (reference IterativeSolvers.h:236-291,
+    388-420)."""
+    from optimization_tpu.linalg.flat_cg import stpcg_flat
+
+    rng = np.random.default_rng(seed)
+    d = jnp.asarray(rng.uniform(1.0, 10.0 ** logcond, n))
+    g = jnp.asarray(rng.normal(size=n))
+    A0 = lambda v: d * v
+    if rank:
+        Um = jnp.asarray(rng.normal(size=(n, rank)) / np.sqrt(n))
+        U = tuple(Um[:, j] for j in range(rank))
+        Bm = jnp.asarray(rng.normal(size=(rank, rank)))
+        B = 0.5 * (Bm + Bm.T)
+        Hv = lambda v: A0(v) + Um @ (B @ (Um.T @ v))
+    else:
+        U, B = None, None
+        Hv = A0
+
+    prec = lambda v: v * jax.lax.rsqrt(d)
+    gen_precon = lambda r: (r / d, None)
+
+    ref = stpcg(g, Hv, inner, delta, max_iterations=5 * n,
+                kappa_fgr=0.05, theta=0.5, precon=gen_precon)
+    res = stpcg_flat(g, A0, U, B, delta, max_iterations=5 * n,
+                     kappa_fgr=0.05, theta=0.5, s_steps=s_steps, prec=prec)
+    assert int(res.num_iterations) == int(ref.num_iterations)
+    np.testing.assert_allclose(float(res.update_step_M_norm),
+                               float(ref.update_step_M_norm),
+                               rtol=1e-6, atol=1e-10)
+    scale = max(float(jnp.linalg.norm(ref.s)), 1e-9)
+    np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                               atol=1e-5 * scale)
