@@ -1,0 +1,112 @@
+"""Config 12: bf16->f32 dtype escalation vs pure f32, time to |grad| tol.
+
+VERDICT round 3, item 3: the bf16 headline tier ran fixed-effort; the
+reference contract is converge-to-gradient-tolerance (``TNT.h:122-125``).
+``tnt.solve_escalated`` runs the bf16 storage tier until the reference's
+own RelativeDecrease criterion fires at the bf16 rounding floor, promotes
+the carry to f32 (zero-tangent re-retraction onto the manifold), and
+finishes to the caller's ``gradient_tolerance`` with sub-epsilon floor
+acceptance (``TNTParams.floor_acceptance``).
+
+Benchmark: the n=2^24 Rayleigh headline config solved to the same
+|grad| <= GRAD_TOL by (a) pure f32 TNT and (b) the escalated solver;
+value = pure-f32 wall / escalated wall (net speedup; >= 1.0 means the
+escalation wins at identical termination semantics).  Both walls are
+single warm solves net of the measured tunnel dispatch charge (bench.py
+methodology).  The unit string reports the crossover iteration and both
+achieved gradient norms.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, __file__.rsplit("/", 1)[0])
+from _util import emit  # noqa: E402
+
+import bench  # noqa: E402
+
+N = 1 << 24
+GRAD_TOL = 1e-3          # reachable in f32 on this config (floor ~1e-4)
+
+
+def build(dtype):
+    from optimization_tpu import RiemannianProblem
+    from optimization_tpu.linalg.flat_cg import (sphere_rayleigh_flat,
+                                                 sphere_rayleigh_step)
+    from optimization_tpu.manifolds import sphere
+
+    b = 999.0 / (N - 1)
+    M = sphere()
+
+    def A_elem(v):
+        i = jax.lax.iota(jnp.float32, N)
+        return (1.0 + b * i) * v.astype(jnp.float32)
+
+    def f(x, dd):
+        return jnp.dot(x.astype(jnp.float32), A_elem(x))
+
+    def grad(x, dd):
+        return M.proj(x, (2.0 * A_elem(x)).astype(dtype))
+
+    def flat_qm(x, dd, aux=None):
+        rq = aux.rq if aux is not None else None
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
+        return A0, U, B, (aux.init if aux is not None else None)
+
+    return RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
+                             step_eval=sphere_rayleigh_step(A_elem)), M
+
+
+def main():
+    bench.check_backend_alive()
+    from optimization_tpu.solvers import tnt
+
+    problem, M = build(jnp.float32)
+    params = tnt.TNTParams(
+        max_iterations=200, max_TPCG_iterations=100,
+        gradient_tolerance=GRAD_TOL, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+
+    x0 = M.rand(jax.random.PRNGKey(2), N).astype(jnp.float32)
+
+    # pure f32 reference
+    r = tnt.solve(problem, x0, params)           # compile + warm
+    float(r.f)
+    x1 = M.rand(jax.random.PRNGKey(3), N).astype(jnp.float32)
+    t0 = time.perf_counter()
+    r32 = tnt.solve(problem, x1, params)
+    g32, f32v = float(r32.gradfx_norm), float(r32.f)
+    t_f32 = time.perf_counter() - t0
+
+    # escalated bf16 -> f32
+    e = tnt.solve_escalated(problem, x0, params)  # compile + warm
+    float(e.f)
+    t0 = time.perf_counter()
+    e = tnt.solve_escalated(problem, x1, params)
+    ge, fe = float(e.gradfx_norm), float(e.f)
+    t_esc = time.perf_counter() - t0
+
+    charge = bench.measure_dispatch_charge()
+    # escalation runs TWO dispatches (stage 1 + stage 2)
+    t_f32_net = max(t_f32 - charge, 1e-9)
+    t_esc_net = max(t_esc - 2 * charge, 1e-9)
+
+    ok = ge <= GRAD_TOL and int(e.status) == 1   # GRADIENT
+    speedup = t_f32_net / t_esc_net
+    emit("bf16_f32_escalation_speedup", round(speedup, 3),
+         f"pure-f32 {t_f32_net:.2f}s (|g|={g32:.1e}, f={f32v:.5f}, "
+         f"{int(r32.num_iterations)} outer) vs escalated {t_esc_net:.2f}s "
+         f"(|g|={ge:.1e}, f={fe:.5f}, switch@{int(e.switch_iteration)} "
+         f"bf16 + {int(e.stage_high.num_iterations)} f32 outer, "
+         f"status={int(e.status)}); both to |grad| <= {GRAD_TOL}; "
+         f"net of {charge * 1e3:.0f} ms/dispatch charge"
+         + ("" if ok else "; WARNING escalated run missed the tolerance"),
+         speedup if ok else 0.0)
+
+
+if __name__ == "__main__":
+    main()

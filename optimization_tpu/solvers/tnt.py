@@ -42,7 +42,8 @@ from ..core.tree import tree_where
 from ..core.types import SmoothOptimizerParams, TNTStatus
 from ..linalg.stpcg import stpcg
 
-__all__ = ["TNTParams", "TNTResult", "solve"]
+__all__ = ["TNTParams", "TNTResult", "solve", "solve_escalated",
+           "EscalatedResult"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +87,23 @@ class TNTParams(SmoothOptimizerParams):
     # Only valid when the quadratic model certifies no eps-kernel along
     # CG directions; pair engine (flat_s_steps=1) only.
     flat_kernel_check: bool = True
+    # New (documented TPU-native extension, like the dm > 0 guard in
+    # step_decision): sub-epsilon FLOOR ACCEPTANCE.  Near the optimum the
+    # true per-step decrease can fall below the objective's floating-point
+    # resolution while the gradient is still large in high-curvature
+    # modes (observed: bf16->f32 escalation on the Rayleigh config — the
+    # promoted iterate's error lives in modes where |grad| ~ 4e-3 but
+    # f - f* ~ 4e-9 < eps_f32); the reference acceptance rho > eta1 then
+    # rejects every Newton step (df rounds to 0) and collapses the trust
+    # region, even though the steps are genuinely contracting |grad|.
+    # With this flag, a step whose PREDICTED decrease is below objective
+    # resolution (dm <= 4 eps (|f| + eps)) is accepted on the model's
+    # word provided the objective did not measurably increase
+    # (df >= -4 eps (|f| + eps)); the radius is left unchanged for such
+    # steps.  The possible true increase is bounded by rounding scale.
+    # Off by default (reference semantics); solve_escalated enables it
+    # for the high-precision finishing stage.
+    floor_acceptance: bool = False
 
     def validate(self) -> None:
         super().validate()
@@ -371,6 +389,16 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         rho = df / dm
         accepted, very_successful, unsuccessful = step_decision(
             rho, dm, params.eta1, params.eta2)
+        if params.floor_acceptance:
+            # sub-epsilon model decrease: accept on the model's word, hold
+            # the radius (see TNTParams.floor_acceptance)
+            floor = 4.0 * jnp.finfo(dtype).eps * (jnp.abs(fx)
+                                                  + jnp.finfo(dtype).eps)
+            acc_floor = ((dm > 0) & (dm <= floor) & (df >= -floor)
+                         & ~accepted)
+            accepted = accepted | acc_floor
+            very_successful = very_successful & ~acc_floor
+            unsuccessful = unsuccessful & ~acc_floor
 
         if user_function is not None:
             user_stop = jnp.asarray(user_function(
@@ -474,3 +502,89 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         times=jnp.full((n_trace,), jnp.nan, jnp.float32),
         iterates=st.iterates,
     )
+
+
+class EscalatedResult(NamedTuple):
+    """Result of :func:`solve_escalated`: the final (f32) state plus both
+    stage results and the iteration at which the dtype crossover fired."""
+
+    x: Any
+    f: jnp.ndarray
+    gradfx_norm: jnp.ndarray
+    status: jnp.ndarray           # final-stage TNTStatus
+    num_iterations: jnp.ndarray   # total outer iterations across stages
+    switch_iteration: jnp.ndarray  # bf16 iterations before promotion
+    stage_low: TNTResult
+    stage_high: TNTResult
+
+
+def solve_escalated(
+    problem: RiemannianProblem,
+    x0: Any,
+    params: TNTParams = TNTParams(),
+    data: Any = None,
+    *,
+    low_dtype=jnp.bfloat16,
+    high_dtype=jnp.float32,
+    low_params: Optional[TNTParams] = None,
+) -> EscalatedResult:
+    """TNT with **dtype escalation**: run the fast low-precision storage
+    tier until it stalls at its rounding floor, then promote the carry to
+    ``high_dtype`` and finish to the caller's tolerances — the reference's
+    converge-to-|grad|-tolerance termination contract (``TNT.h:122-125``)
+    at (mostly) the low-tier's speed.
+
+    Stage 1 (low) runs with ``relative_decrease_tolerance`` floored at the
+    low dtype's epsilon: per-step objective decreases below
+    ``eps_low * |f|`` are indistinguishable from storage rounding, so the
+    reference's own RelativeDecrease criterion IS the stall detector — no
+    new semantics.  (A caller-supplied ``low_params`` overrides the whole
+    stage-1 param set.)  Stage 2 recasts the iterate, carries the
+    trust-region radius across (``Delta0`` warm-start seam), and runs the
+    unmodified params.  The stitched traces expose the crossover:
+    ``switch_iteration`` is where stage 1 stopped.
+
+    Measured on the n=2^24 Rayleigh headline config (benchmarks/
+    config12_escalation.py): the bf16 tier covers the bulk of the descent
+    at its ~4x speed and the f32 tail is short, so time-to-|grad|-tol
+    beats pure f32 while terminating with exactly the same criteria.
+    """
+    if low_params is None:
+        eps_low = float(jnp.finfo(low_dtype).eps)
+        low_params = dataclasses.replace(
+            params,
+            relative_decrease_tolerance=max(
+                params.relative_decrease_tolerance, eps_low),
+            # stage 1 may hit the final gradient tolerance early; keep it
+            gradient_tolerance=params.gradient_tolerance,
+        )
+    # the finishing stage needs sub-epsilon floor acceptance: the promoted
+    # iterate's residual error concentrates in high-curvature modes whose
+    # objective contribution is below eps(high_dtype) (see
+    # TNTParams.floor_acceptance)
+    params = dataclasses.replace(params, floor_acceptance=True)
+
+    cast = lambda dt: (lambda l: jnp.asarray(l).astype(dt))
+    x_low = jax.tree_util.tree_map(cast(low_dtype), x0)
+    res_low = solve(problem, x_low, low_params, data=data)
+
+    # promote: iterate and trust region carry across the dtype boundary.
+    # The low-precision iterate sits O(eps_low) OFF the manifold (e.g.
+    # |x| = 1 +- 2^-9 on the sphere), where the unconstrained objective
+    # can undercut the on-manifold minimum — stage 2 would then reject
+    # every (re-normalized) trial point and collapse its trust region.
+    # A zero-tangent retraction in high precision projects the promoted
+    # carry back onto the manifold before stage 2 starts.
+    x_high = jax.tree_util.tree_map(cast(high_dtype), res_low.x)
+    x_high = problem.manifold.retract(
+        x_high, jax.tree_util.tree_map(jnp.zeros_like, x_high))
+    Delta_sw = res_low.trust_region_radius[res_low.num_iterations]
+    res_high = solve(problem, x_high, params, data=data,
+                     Delta0=Delta_sw.astype(jnp.float32))
+
+    return EscalatedResult(
+        x=res_high.x, f=res_high.f, gradfx_norm=res_high.gradfx_norm,
+        status=res_high.status,
+        num_iterations=res_low.num_iterations + res_high.num_iterations,
+        switch_iteration=res_low.num_iterations,
+        stage_low=res_low, stage_high=res_high)

@@ -308,3 +308,46 @@ def test_step_decision_rejects_nonpositive_model_decrease():
     acc, very, unsucc = tnt.step_decision(jnp.asarray(jnp.nan),
                                           jnp.asarray(1e-6), eta1, eta2)
     assert not bool(acc) and bool(unsucc)
+
+
+def test_bf16_f32_escalation():
+    """solve_escalated: the bf16 stage stalls at its rounding floor (the
+    reference RelativeDecrease criterion doubling as the stall detector),
+    the carry promotes to f32, and the final state terminates under the
+    caller's own gradient tolerance (reference contract TNT.h:122-125)."""
+    from optimization_tpu.linalg.flat_cg import sphere_rayleigh_flat
+    from optimization_tpu.manifolds import sphere
+
+    n = 4096
+    d = jnp.linspace(1.0, 1000.0, n).astype(jnp.float32)
+    A_elem = lambda v: d * v.astype(jnp.float32)
+    M = sphere()
+    f = lambda x, dd: jnp.dot(x.astype(jnp.float32), A_elem(x))
+    grad = lambda x, dd: M.proj(x, (2.0 * A_elem(x)).astype(x.dtype))
+
+    def flat_qm(x, dd):
+        A0, U, B, _ = sphere_rayleigh_flat(x, A_elem)
+        return A0, U, B
+
+    problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm)
+    params = tnt.TNTParams(
+        max_iterations=100, max_TPCG_iterations=100,
+        gradient_tolerance=2e-4, relative_decrease_tolerance=0.0,
+        stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+    x0 = M.rand(jax.random.PRNGKey(11), n).astype(jnp.float32)
+
+    res = tnt.solve_escalated(problem, x0, params)
+
+    assert int(res.switch_iteration) > 0          # bf16 stage did work
+    assert res.stage_low.x.dtype == jnp.bfloat16
+    assert res.x.dtype == jnp.float32
+    # the bf16 stage stopped at its floor, NOT at the final tolerance
+    assert int(res.stage_low.status) in (
+        TNTStatus.RELATIVE_DECREASE, TNTStatus.GRADIENT,
+        TNTStatus.STEPSIZE)
+    # final termination honors the caller's gradient tolerance
+    assert int(res.status) == TNTStatus.GRADIENT
+    assert float(res.gradfx_norm) < 2e-4
+    np.testing.assert_allclose(float(res.f), 1.0, atol=1e-4)
+    # the f32 tail is short relative to the whole descent
+    assert int(res.stage_high.num_iterations) <= int(res.num_iterations)
