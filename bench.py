@@ -104,7 +104,7 @@ def measure_dispatch_charge(reps=7):
     return float(sorted(ts)[len(ts) // 2])
 
 
-def run_tier(n, dtype, grad_tol, max_tpcg=50):
+def run_tier(n, dtype, grad_tol, max_tpcg=50, stream_engine=False):
     """One TNT solve of the headline config in the given storage dtype.
 
     Returns (cg_per_s, outer, inner, dt, fstar).  Timing closes with a
@@ -146,7 +146,35 @@ def run_tier(n, dtype, grad_tol, max_tpcg=50):
         A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
         return A0, U, B, (aux.init if aux is not None else None)
 
+    flat_solve = None
+    if stream_engine:
+        # Round-4 streamed tier: the whole-loop Pallas kernel pins x in
+        # VMEM and streams s/r/p with double-buffered DMA — 6n real words
+        # per CG iteration instead of the XLA bodies' 7n, at the measured
+        # 0.80-of-spec manual-DMA envelope (kernels/streamed_cg.py;
+        # probe_streamed_kernel.py: 1630 it/s vs 1359 xla-pair on the
+        # kappa=1e5 fixture).
+        from optimization_tpu.kernels.streamed_cg import (
+            sphere_rayleigh_streamed, stpcg_flat_streamed)
+
+        def a_chunk(i0, aux, cr=2048):
+            row = (jax.lax.broadcasted_iota(jnp.int32, (cr, 128), 0)
+                   .astype(jnp.float32) + jnp.float32(i0))
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (cr, 128), 1).astype(jnp.float32)
+            return 1.0 + jnp.float32(b) * (row * 128.0 + lane)
+
+        a0c, weights, B_fn = sphere_rayleigh_streamed(a_chunk)
+
+        def flat_solve(g, x, dd, aux, Delta, params):
+            rq = aux.rq
+            return stpcg_flat_streamed(
+                g, x, B_fn(rq), Delta, aux_scalars=(rq,), a0_chunk=a0c,
+                weights=weights, max_iterations=params.max_TPCG_iterations,
+                kappa_fgr=params.kappa_fgr, theta=params.theta)
+
     problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
+                                flat_solve=flat_solve,
                                 step_eval=sphere_rayleigh_step(A_elem))
     params = tnt.TNTParams(
         max_iterations=30, max_TPCG_iterations=max_tpcg,
@@ -222,9 +250,12 @@ def main():
     check_backend_alive()
     spec, kind = chip_bandwidth()
 
-    # f32 reference tier (the round-1/2 headline configuration)
+    # f32 reference tier (the round-1/2 headline configuration), on the
+    # round-4 streamed Pallas engine by default (BENCH_F32_ENGINE=xla
+    # reverts to the XLA pair body)
+    f32_stream = os.environ.get("BENCH_F32_ENGINE", "stream") != "xla"
     f32_rate, f32_outer, f32_inner, f32_dt, f32_f = run_tier(
-        n, jnp.float32, 1e-5)
+        n, jnp.float32, 1e-5, stream_engine=f32_stream)
     # bf16 storage tier at the same fixed effort (tolerance 0 pins the
     # effort to the full 30 outer iterations; the f32 tier runs the same
     # 30 because 1e-5 is unreachable in 30 on this kappa=1000 problem)
@@ -262,7 +293,13 @@ def main():
     # HBM traffic is near zero; streamed tiers report real bytes.
     from optimization_tpu.linalg.flat_cg import resolve_body
     w_bf16 = 7 if resolve_body(n, jnp.bfloat16) == "single" else 6
-    w_f32 = 7 if resolve_body(n, jnp.float32) == "single" else 6
+    # f32 streamed accounting (round-4 correction): the XLA bodies re-read
+    # the loop-invariant x from HBM every pass, so their real traffic is
+    # ~7n words/iteration (round 3 reported 6n and hence understated the
+    # achieved bandwidth); the Pallas streamed kernel pins x in VMEM and
+    # moves exactly 6n.
+    w_f32 = 6 if f32_stream else 7
+    f32_eng = "pallas-stream" if f32_stream else "xla-pair"
     res_bf16 = (" apparent/VMEM-resident"
                 if resolve_body(n, jnp.bfloat16) == "single" else "")
     gbps = w_bf16 * n * 2 * inner / dt_net / 1e9
@@ -281,9 +318,10 @@ def main():
                  f"{res_bf16}; "
                  f"f*={fstar:.4f} (exact 1.0); "
                  f"{split}"
-                 f"f32 tier: {f32_rate_net:.0f} cg it/s ({f32_outer} outer "
+                 f"f32 tier ({f32_eng}, {w_f32}n real words/iter): "
+                 f"{f32_rate_net:.0f} cg it/s ({f32_outer} outer "
                  f"/ {f32_inner} cg in {f32_dt_net:.2f}s net, "
-                 f"{f32_gbps:.0f} GB/s, "
+                 f"{f32_gbps:.0f} GB/s = {f32_gbps / spec:.2f} of spec, "
                  f"f*={f32_f:.4f}); history: r1=674, r2=1231 (f32), "
                  f"round-3 target {TARGET_CG_PER_S:.0f}"),
         "vs_baseline": round(rate_net / TARGET_CG_PER_S, 4),

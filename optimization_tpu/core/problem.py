@@ -62,6 +62,16 @@ class RiemannianProblem:
     # aux carry) — and TNT forwards it to ``stpcg_flat(init=)`` so the
     # subproblem starts with zero reductions (pair engine only).
     flat_qm: Optional[Callable[..., Any]] = None
+    # Optional bring-your-own trust-region subproblem engine:
+    # ``flat_solve(grad, x, data, aux, Delta, params) -> FlatCGResult``
+    # replaces the whole STPCG/flat-CG dispatch in TNT (takes priority
+    # over ``flat_qm``).  ``aux`` is the step_eval carry (or None);
+    # ``params`` the TNTParams (static).  This is the seam the streamed
+    # whole-loop Pallas kernel (kernels/streamed_cg.py) plugs in through:
+    # the kernel needs chunk-aware operator generators that a problem
+    # knows how to build but the generic flat_qm closure contract cannot
+    # express.
+    flat_solve: Optional[Callable[..., Any]] = None
     # Optional elementwise preconditioner for the flat engine:
     # ``flat_prec(x, data) -> (v -> M^{-1/2} v)`` returns the elementwise,
     # linear, self-adjoint, positive map the flat CG folds in symmetrically

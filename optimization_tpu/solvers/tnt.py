@@ -323,7 +323,13 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         # preconditioning of reference IterativeSolvers.h:236-252,388-404).
         use_flat = problem.flat_qm is not None and (
             problem.precon is None or problem.flat_prec is not None)
-        if use_flat:
+        if problem.flat_solve is not None and problem.precon is None:
+            # bring-your-own subproblem engine (e.g. the streamed
+            # whole-loop Pallas kernel, kernels/streamed_cg.py)
+            cg = problem.flat_solve(grad, x, data, st.aux, st.Delta,
+                                    params)
+            flat_dm = cg.predicted_decrease
+        elif use_flat:
             from ..linalg.flat_cg import stpcg_flat
 
             if st.aux is not None:
