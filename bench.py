@@ -297,9 +297,9 @@ def main():
     # the loop-invariant x from HBM every pass, so their real traffic is
     # ~7n words/iteration (round 3 reported 6n and hence understated the
     # achieved bandwidth); the Pallas streamed kernel pins x in VMEM and
-    # moves exactly 6n.
-    w_f32 = 6 if f32_stream else 7
-    f32_eng = "pallas-stream" if f32_stream else "xla-pair"
+    # defers s across iteration pairs — 4n/6n alternating, 5n average.
+    w_f32 = 5 if f32_stream else 7
+    f32_eng = "pallas-pair-stream" if f32_stream else "xla-pair"
     res_bf16 = (" apparent/VMEM-resident"
                 if resolve_body(n, jnp.bfloat16) == "single" else "")
     gbps = w_bf16 * n * 2 * inner / dt_net / 1e9

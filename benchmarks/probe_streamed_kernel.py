@@ -86,13 +86,13 @@ def main():
     K_LO, K_HI = 100, 1100
     KAPPA = 1e-12        # unreachable -> runs to the cap (or the floor)
 
-    def run_stream(K):
+    def run_stream(K, body="single"):
         @jax.jit
         def f(gg):
             return stpcg_flat_streamed(
                 gg, x, B_pd, 1e9, aux_scalars=(rq_pd,), a0_chunk=a0c,
                 weights=weights, max_iterations=K, kappa_fgr=KAPPA,
-                theta=0.0)
+                theta=0.0, body_kind=body)
         return f
 
     def run_xla(K, body):
@@ -102,7 +102,8 @@ def main():
                               kappa_fgr=KAPPA, theta=0.0, body_kind=body)
         return f
 
-    arms = [("pallas-stream 6n", run_stream, 6),
+    arms = [("pallas-pair 5n", lambda K: run_stream(K, "pair"), 5),
+            ("pallas-stream 6n", run_stream, 6),
             ("xla-single 7n", lambda K: run_xla(K, "single"), 7),
             ("xla-pair 7n", lambda K: run_xla(K, "pair"), 7)]
     only = os.environ.get("PROBE_ARMS", "")

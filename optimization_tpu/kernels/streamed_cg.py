@@ -92,7 +92,7 @@ def _matk(M: Sequence[Sequence], v: Sequence):
 
 
 def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
-               kappa_fgr, theta, epsilon, n_aux):
+               kappa_fgr, theta, epsilon, n_aux, pair):
     """Build the kernel body (all structure static)."""
     nch = n_rows // cr
     assert nch >= 2, "need >= 2 chunks for the double-buffered pipeline"
@@ -182,51 +182,58 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
         target = r0n * jnp.minimum(jnp.asarray(kappa_fgr, f32),
                                    _pow(r0n, theta))
 
-        # ============ CG LOOP (single body; flat_cg.half semantics) ======
-        def rps_read(i, slot):
+        # ============ CG LOOP (flat_cg.half semantics; ``pair`` defers
+        # the s update into the next half: the deferring half streams
+        # r/p only — 4n words — and the applying half folds the pending
+        # coefficient into its own 6n-word s update, averaging 5n) ======
+        def rps_read(i, slot, with_s):
             i0 = pl.ds(i * cr, cr)
             pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
                                   sem_in.at[slot, 0]).start()
             pltpu.make_async_copy(p_out.at[i0, :], pin.at[slot],
                                   sem_in.at[slot, 1]).start()
-            pltpu.make_async_copy(s_out.at[i0, :], sin.at[slot],
-                                  sem_in.at[slot, 2]).start()
+            if with_s:
+                pltpu.make_async_copy(s_out.at[i0, :], sin.at[slot],
+                                      sem_in.at[slot, 2]).start()
 
-        def rps_read_wait(i, slot):
+        def rps_read_wait(i, slot, with_s):
             i0 = pl.ds(i * cr, cr)
             pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
                                   sem_in.at[slot, 0]).wait()
             pltpu.make_async_copy(p_out.at[i0, :], pin.at[slot],
                                   sem_in.at[slot, 1]).wait()
-            pltpu.make_async_copy(s_out.at[i0, :], sin.at[slot],
-                                  sem_in.at[slot, 2]).wait()
+            if with_s:
+                pltpu.make_async_copy(s_out.at[i0, :], sin.at[slot],
+                                      sem_in.at[slot, 2]).wait()
 
-        def rps_write(i, slot):
+        def rps_write(i, slot, with_s):
             i0 = pl.ds(i * cr, cr)
             pltpu.make_async_copy(rob.at[slot], r_out.at[i0, :],
                                   sem_out.at[slot, 0]).start()
             pltpu.make_async_copy(pob.at[slot], p_out.at[i0, :],
                                   sem_out.at[slot, 1]).start()
-            pltpu.make_async_copy(sob.at[slot], s_out.at[i0, :],
-                                  sem_out.at[slot, 2]).start()
+            if with_s:
+                pltpu.make_async_copy(sob.at[slot], s_out.at[i0, :],
+                                      sem_out.at[slot, 2]).start()
 
-        def rps_write_wait(i, slot):
+        def rps_write_wait(i, slot, with_s):
             i0 = pl.ds(i * cr, cr)
             pltpu.make_async_copy(rob.at[slot], r_out.at[i0, :],
                                   sem_out.at[slot, 0]).wait()
             pltpu.make_async_copy(pob.at[slot], p_out.at[i0, :],
                                   sem_out.at[slot, 1]).wait()
-            pltpu.make_async_copy(sob.at[slot], s_out.at[i0, :],
-                                  sem_out.at[slot, 2]).wait()
+            if with_s:
+                pltpu.make_async_copy(sob.at[slot], s_out.at[i0, :],
+                                      sem_out.at[slot, 2]).wait()
 
         # carry: (k, rv, ar, nr, pa, nAp, rv_prev, alpha_prev, pr_c,
         #         kappa_prev, s_p, sk2, pp_prev, mval, done, boundary,
-        #         m[k], mA[k], mB[k], mp[k])
+        #         s_valid, p_valid, m[k], mA[k], mB[k], mp[k])
         def carry_pack(k, scal, m, mA, mB, mp):
             return (k,) + tuple(scal) + tuple(m) + tuple(mA) + tuple(mB) \
                 + tuple(mp)
 
-        N_SCAL = 15
+        N_SCAL = 17
 
         def carry_unpack(c):
             k = c[0]
@@ -244,10 +251,19 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             return ((k < max_iterations) & (done == zero)
                     & (jnp.sqrt(rv) > target))
 
-        def body(c):
+        def half(c, pend, apply_s):
+            """One CG iteration (mirrors flat_cg._stpcg_flat_pair.half):
+            ``apply_s=False`` defers the s coefficient into ``pend_out``
+            and skips the s streams; ``apply_s=True`` folds ``pend`` into
+            its s update.  ``frozen`` replays the XLA engine's gating so
+            within-pair exits keep identical semantics (the while cond is
+            only evaluated between pairs)."""
             k, scal, m, mA, mB, mp = carry_unpack(c)
             (rv, ar, nr, pa, nAp, rv_prev, alpha_prev, pr_c, kappa_prev,
-             s_p, sk2, pp_prev, mval, done, bnd) = scal
+             s_p, sk2, pp_prev, mval, done, bnd, s_valid,
+             p_valid) = scal
+            frozen = ((done != zero) | (k >= max_iterations)
+                      | (jnp.sqrt(rv) <= target))
 
             first = rv_prev == zero
             beta = jnp.where(first, zero,
@@ -279,14 +295,18 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
             alpha = rv / kappa
             sk2_next = sk2 + 2.0 * alpha * sp_k + alpha * alpha * pp_k
-            boundary = in_kernel | (kappa <= 0) | (sk2_next > Delta2)
+            boundary = (in_kernel | (kappa <= 0)
+                        | (sk2_next > Delta2)) & ~frozen
 
             cs = jnp.where(boundary, sigma * sign, alpha)
-            crr = jnp.where(boundary, zero, alpha)
-            m_new = jnp.where(boundary,
-                              mval + sigma * sign * pr_k
-                              + 0.5 * sigma * sigma * kappa,
-                              mval - 0.5 * alpha * rv)
+            cs = jnp.where(frozen, zero, cs)
+            crr = jnp.where(boundary | frozen, zero, alpha)
+            m_new = jnp.where(
+                frozen, mval,
+                jnp.where(boundary,
+                          mval + sigma * sign * pr_k
+                          + 0.5 * sigma * sigma * kappa,
+                          mval - 0.5 * alpha * rv))
 
             mp_k = [-m[j] + beta * mp[j] for j in range(k_lr)]
             mB2 = [-mA[j] + beta * mB[j] for j in range(k_lr)]
@@ -295,9 +315,9 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             m2 = [m[j] + crr * (mB2[j] + UUBmpk[j]) for j in range(k_lr)]
             nAp2 = nr - 2.0 * beta * pa + beta * beta * nAp
 
-            # ---- THE streamed pass: 6n words (s,r,p in; s,r,p out),
+            # ---- THE streamed pass: r/p (+s when applying) in and out,
             # x from VMEM, diagonal regenerated per chunk ----
-            rps_read(0, 0)
+            rps_read(0, 0, apply_s)
 
             def chunk(i, acc):
                 rv2, ar2, nr2, pa2, mA2 = acc
@@ -305,12 +325,11 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
                 @pl.when(i + 1 < nch)
                 def _():
-                    rps_read(i + 1, (i + 1) % 2)
+                    rps_read(i + 1, (i + 1) % 2, apply_s)
 
-                rps_read_wait(i, slot)
+                rps_read_wait(i, slot, apply_s)
                 rc = rin[slot]
                 pc = pin[slot]
-                sc = sin[slot]
                 xc = x_vmem[pl.ds(i * cr, cr), :]
                 i0 = i * cr
                 a0 = a0_chunk(i0, aux)
@@ -322,7 +341,6 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 for j in range(k_lr):
                     q2 = q2 + Bmpk[j] * us[j]
                 r2 = rc + crr * q2
-                s2 = jnp.where(first, cs * p2, sc + cs * p2)
 
                 a0r2 = a0 * r2
                 a0p2 = a0 * p2
@@ -335,20 +353,28 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
                 @pl.when(i >= 2)
                 def _():
-                    rps_write_wait(i - 2, slot)
+                    rps_write_wait(i - 2, slot, apply_s)
 
                 rob[slot] = r2
                 pob[slot] = p2
-                sob[slot] = s2
-                rps_write(i, slot)
+                if apply_s:
+                    sc = sin[slot]
+                    # first-iteration guards: the s and p buffers hold
+                    # garbage (possibly NaN) before their first write, and
+                    # 0 * NaN = NaN — select, don't scale
+                    sob[slot] = (jnp.where(s_valid != zero, sc, 0.0)
+                                 + jnp.where(p_valid != zero,
+                                             pend * pc, 0.0)
+                                 + cs * p2)
+                rps_write(i, slot, apply_s)
                 return (rv2, ar2, nr2, pa2, mA2)
 
             rv2, ar2, nr2, pa2, mA2 = jax.lax.fori_loop(
                 0, nch, chunk, (zero, zero, zero, zero, z_k))
-            rps_write_wait(nch - 2, nch % 2)
-            rps_write_wait(nch - 1, (nch + 1) % 2)
+            rps_write_wait(nch - 2, nch % 2, apply_s)
+            rps_write_wait(nch - 1, (nch + 1) % 2, apply_s)
 
-            exit_now = boundary
+            exit_now = boundary | frozen
             scal_new = [
                 jnp.where(exit_now, rv, rv2), ar2, nr2, pa2, nAp2,
                 jnp.where(exit_now, rv_prev, rv),
@@ -360,15 +386,28 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 jnp.where(exit_now, pp_prev, pp_k),
                 m_new,
                 jnp.where(boundary, one, done),
-                jnp.where(boundary, one, bnd),
+                jnp.where(frozen, bnd, jnp.where(boundary, one, bnd)),
+                one if apply_s else s_valid,
+                one,                             # p written every half
             ]
             k_new = jnp.where(exit_now, k, k + 1)
-            return carry_pack(k_new, scal_new, m2, mA2, mB2, mp_k)
+            pend_out = zero if apply_s else cs
+            return carry_pack(k_new, scal_new, m2, mA2, mB2, mp_k), pend_out
+
+        if pair:
+            def body(c):
+                c1, pend = half(c, zero, apply_s=False)
+                c2, _ = half(c1, pend, apply_s=True)
+                return c2
+        else:
+            def body(c):
+                c1, _ = half(c, zero, apply_s=True)
+                return c1
 
         scal0 = [rv0, ar0, nr0, zero, zero,     # rv, ar, nr, pa, nAp
                  zero, one, zero, one,          # rv_prev, alpha_prev, pr, kp
                  zero, zero, zero, zero,        # s_p, sk2, pp_prev, mval
-                 zero, zero]                    # done, boundary
+                 zero, zero, zero, zero]  # done, boundary, s/p_valid
         c0 = carry_pack(jnp.zeros((), jnp.int32), scal0, m0, mA0,
                         z_k, z_k)
         cF = jax.lax.while_loop(cond, body, c0)
@@ -396,6 +435,7 @@ def stpcg_flat_streamed(
     theta: float = 0.5,
     epsilon: float = 1e-8,
     chunk_rows: int = DEF_CHUNK_ROWS,
+    body_kind: str = "pair",
     interpret: bool = False,
 ) -> FlatCGResult:
     """Solve the flat trust-region subproblem with the whole-loop streamed
@@ -404,6 +444,13 @@ def stpcg_flat_streamed(
     forwarded to the chunk generators.  Returns the same
     :class:`FlatCGResult` as ``stpcg_flat`` (s, M-norm, iterations,
     predicted decrease).
+
+    ``body_kind``: ``"pair"`` (default) defers each even iteration's s
+    coefficient into the next half's fused s update — 4n words deferring
+    / 6n applying, 5n average; ``"single"`` applies s every iteration
+    (6n).  Unlike the XLA engine (where the single body wins the VMEM-
+    resident regime), the kernel always streams, so pair is the measured
+    winner at every size the kernel accepts.
     """
     n = g.shape[0]
     if g.dtype != jnp.float32:
@@ -418,9 +465,11 @@ def stpcg_flat_streamed(
         raise ValueError("B must be (k, k) with k = len(weights)")
     n_aux = len(aux_scalars)
 
+    if body_kind not in ("single", "pair"):
+        raise ValueError('body_kind must be "single" or "pair"')
     kernel = _mk_kernel(n_rows, chunk_rows, k_lr, a0_chunk, weights,
                         max_iterations, float(kappa_fgr), float(theta),
-                        float(epsilon), n_aux)
+                        float(epsilon), n_aux, body_kind == "pair")
 
     scal = jnp.stack([jnp.asarray(Delta, jnp.float32)]
                      + [jnp.asarray(a, jnp.float32) for a in aux_scalars])

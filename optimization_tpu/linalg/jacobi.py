@@ -154,7 +154,8 @@ def _round(A: jnp.ndarray, V: jnp.ndarray, perm: jnp.ndarray,
 
 @partial(jax.jit, static_argnames=("max_sweeps", "sort"))
 def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 12,
-                tol: Optional[float] = None, sort: bool = True
+                tol: Optional[float] = None, sort: bool = True,
+                v0: Optional[jnp.ndarray] = None
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eigendecomposition of a (batch of) symmetric matrices by parallel
     cyclic Jacobi.
@@ -175,8 +176,21 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 12,
 
     Odd n is padded internally with a decoupled sentinel eigenvalue that
     sorts last and is sliced away.
+
+    ``v0`` optionally WARM-STARTS the solve with an (..., n, n) orthonormal
+    seed (e.g. the previous iteration's eigenvectors in a lockstep
+    eigensolver): A is conjugated to ``v0' A v0`` — near-diagonal when the
+    seed is good, so the threshold sweeps converge in 1-2 sweeps instead
+    of ~10 — and the returned V composes the seed back in.  NB measured on
+    v5e at the fleet-RR shape (benchmarks/probe_warm_rr.py): even ONE
+    Jacobi sweep costs more than the whole batched-QDWH eigh the fleet's
+    chol-RR path runs, so warm-started Jacobi is NOT a fleet-RR win on
+    this runtime; the seam is kept for per-op-cost runtimes and for
+    standalone high-relative-accuracy tracking of slowly-varying pencils.
     """
     n_in = A.shape[-1]
+    if v0 is not None:
+        A = jnp.swapaxes(v0, -1, -2) @ A @ v0
     A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
     dtype = A.dtype
     batch = A.shape[:-2]
@@ -229,4 +243,7 @@ def jacobi_eigh(A: jnp.ndarray, *, max_sweeps: int = 12,
         order = jnp.argsort(w, axis=-1)
         w = jnp.take_along_axis(w, order, axis=-1)
         V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
-    return w[..., :n_in], V[..., :n_in, :n_in]
+    w, V = w[..., :n_in], V[..., :n_in, :n_in]
+    if v0 is not None:
+        V = v0 @ V
+    return w, V

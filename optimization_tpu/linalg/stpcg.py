@@ -48,6 +48,16 @@ class STPCGResult(NamedTuple):
     s: Any
     update_step_M_norm: jnp.ndarray
     num_iterations: jnp.ndarray
+    # Predicted model decrease -(<g,s> + 1/2 <s,Hs>) tracked by scalar
+    # recurrence (interior step: +1/2 alpha <r,v>; boundary step along p:
+    # -(sigma sign <r,p> + 1/2 sigma^2 kappa)) — algebraically the
+    # reference's explicit dm (TNT.h:511-521) at zero extra operator
+    # applications, so TNT's gain ratio needs no second Hv and the
+    # compiled TNT program contains ONE Hv subgraph instead of two (the
+    # dominant compile-time lever for operators with nested solves, e.g.
+    # the marginalized SE-Sync Hessian).  Same contract as
+    # flat_cg.FlatCGResult.predicted_decrease.
+    predicted_decrease: jnp.ndarray = None
 
 
 class _State(NamedTuple):
@@ -77,6 +87,7 @@ class _State(NamedTuple):
     sk_M_2: jnp.ndarray        # |s_k|_M^2
     p_M_2_prev: jnp.ndarray    # |p_{k-1}|_M^2
     rv: jnp.ndarray            # <r_k, v_k>
+    mval: jnp.ndarray          # model value <g,s_k> + 1/2 <s_k, H s_k>
     done: jnp.ndarray
     boundary: jnp.ndarray
 
@@ -181,6 +192,7 @@ def stpcg(
         s=s0, r=r0, v=v_slot, p_prev=tree_zeros_like(v0),
         beta=zero, alpha_prev=zero,
         s_M_p_prev=zero, sk_M_2=zero, p_M_2_prev=zero, rv=rv0,
+        mval=zero,
         done=jnp.asarray(False),
         boundary=jnp.asarray(False),
     )
@@ -232,6 +244,13 @@ def stpcg(
         neg_or_exit = (kappa <= 0) | (skplus1_M_2 > Delta2)
         boundary = in_kernel | neg_or_exit
 
+        # Model-value recurrence (see STPCGResult.predicted_decrease):
+        # interior CG step decreases it by alpha <r,v> / 2; the boundary
+        # step from s_k along sigma*sign*p_k adds
+        # sigma sign <r_k, p_k> + 1/2 sigma^2 kappa_k.
+        m_int = st.mval - 0.5 * alpha * st.rv
+        m_bnd = st.mval + sigma * sign * pr + 0.5 * sigma * sigma * kappa
+
         # Boundary branch: s + sigma * (sign * p), M-norm = Delta
         s_boundary = tree_axpy_like(sigma * sign, p, st.s)
 
@@ -276,6 +295,8 @@ def stpcg(
             sk_M_2=jnp.where(exit_now, st.sk_M_2, skplus1_M_2),
             p_M_2_prev=jnp.where(exit_now, st.p_M_2_prev, pk_M_2),
             rv=jnp.where(exit_now, st.rv, rv_int),
+            mval=jnp.where(user_stop, st.mval,
+                           jnp.where(boundary, m_bnd, m_int)),
             done=exit_now,
             boundary=boundary,
         )
@@ -284,4 +305,5 @@ def stpcg(
 
     update_step_M_norm = jnp.where(st.boundary, Delta, jnp.sqrt(st.sk_M_2))
     return STPCGResult(s=st.s, update_step_M_norm=update_step_M_norm,
-                       num_iterations=st.k)
+                       num_iterations=st.k,
+                       predicted_decrease=-st.mval)

@@ -323,6 +323,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         # preconditioning of reference IterativeSolvers.h:236-252,388-404).
         use_flat = problem.flat_qm is not None and (
             problem.precon is None or problem.flat_prec is not None)
+        in_flat_branch = True
         if problem.flat_solve is not None and problem.precon is None:
             # bring-your-own subproblem engine (e.g. the streamed
             # whole-loop Pallas kernel, kernels/streamed_cg.py)
@@ -354,7 +355,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
                             prec=prec_fn)
             flat_dm = cg.predicted_decrease
         else:
-            flat_dm = None
+            in_flat_branch = False
             _, Hv = problem.qm(x, data)
             precon_fn = None
             if problem.precon is not None:
@@ -363,13 +364,21 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
                        max_iterations=params.max_TPCG_iterations,
                        kappa_fgr=params.kappa_fgr, theta=params.theta,
                        precon=precon_fn, fused_dots=params.fused_dots)
+            # dm by the engine's scalar recurrence — algebraically the
+            # reference's -<g,h> - 1/2 <h,Hh> (TNT.h:511-521) without a
+            # second Hv: one fewer operator application per outer
+            # iteration AND one fewer Hv subgraph in the compiled program
+            # (for nested-solve operators like the marginalized SE-Sync
+            # Hessian, the duplicate subgraph dominated compile time).
+            flat_dm = cg.predicted_decrease
         h, h_M_norm = cg.s, cg.update_step_M_norm
         # In the unpreconditioned flat branch the metric is the ambient
         # Euclidean dot (part of the flat_qm contract), so |h| == |h|_M —
-        # no extra pass.  With flat_prec the M-norm is the preconditioner
-        # norm, so the Euclidean step norm costs one extra reduction.
+        # no extra pass.  With flat_prec (or in the generic branch, where
+        # the M-norm is the metric/preconditioner norm) the Euclidean
+        # step norm costs one extra reduction.
         h_norm = (h_M_norm
-                  if flat_dm is not None and problem.flat_prec is None
+                  if in_flat_branch and problem.flat_prec is None
                   else jnp.sqrt(inner(h, h)))
 
         # STEP 3: trial point and gain ratio (reference TNT.h:505-532).
@@ -388,8 +397,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
             aux_prop = None
             x_prop = M.retract(x, h)
             fx_prop = jnp.asarray(problem.value(x_prop, data))
-        dm = (flat_dm if flat_dm is not None
-              else -inner(grad, h) - 0.5 * inner(h, Hv(h)))
+        dm = flat_dm
         df = fx - fx_prop
         relative_decrease = df / (sqrt_eps + jnp.abs(fx))
         rho = df / dm

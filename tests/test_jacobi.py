@@ -160,3 +160,25 @@ def test_lobpcg_with_jacobi_eigh():
     assert bool(res.pencil_consistent)
     np.testing.assert_allclose(np.asarray(res.theta),
                                np.asarray(d[:4]), rtol=1e-6)
+
+
+def test_warm_start_seed_composes():
+    """jacobi_eigh(v0=): conjugate-in, compose-out — warm-started results
+    must match the cold solve and jnp.linalg.eigh on the original A."""
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(4, 12, 12))
+    A = jnp.asarray(A + np.swapaxes(A, -1, -2))
+    w_ref, V_ref = jnp.linalg.eigh(A)
+    # seed: the true eigenvectors perturbed by a small rotation
+    P = jnp.asarray(rng.normal(size=(12, 12)) * 0.05)
+    Q, _ = jnp.linalg.qr(jnp.eye(12) + P - P.T)
+    v0 = V_ref @ Q.T
+    w, V = jacobi_eigh(A, v0=v0)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                               rtol=1e-10, atol=1e-10)
+    # eigenvector residual on the ORIGINAL A
+    R = A @ V - V * w[..., None, :]
+    assert float(jnp.max(jnp.abs(R))) < 1e-8
+    # orthonormality preserved through the composition
+    I = jnp.swapaxes(V, -1, -2) @ V
+    assert float(jnp.max(jnp.abs(I - jnp.eye(12)))) < 1e-10

@@ -259,3 +259,36 @@ def test_fused_dots_rejects_pytree():
     with pytest.raises(ValueError):
         stpcg({"a": small_g}, lambda v: v, lambda u, v: 0.0, 1.0,
               fused_dots=True)
+
+
+def test_predicted_decrease_matches_explicit_dm():
+    """STPCGResult.predicted_decrease (scalar recurrence) equals the
+    explicit -<g,s> - 1/2 <s,Hs> in every exit regime, including the
+    preconditioned path (the recurrence is what lets TNT skip its second
+    Hv application, TNT.h:511-521)."""
+    rng = np.random.default_rng(29)
+    n = 200
+    d = jnp.asarray(rng.uniform(0.5, 40.0, n))
+    g = jnp.asarray(rng.normal(size=n))
+    Hv = lambda v: d * v
+    inner = lambda u, v: jnp.dot(u, v)
+
+    for Delta, precon in [(1e9, None), (0.5, None), (0.05, None),
+                          (1e9, lambda r: (r / d, None)),
+                          (0.3, lambda r: (r / d, None))]:
+        res = stpcg(g, Hv, inner, Delta, max_iterations=400,
+                    kappa_fgr=0.05, theta=0.5, precon=precon)
+        dm = float(-inner(g, res.s) - 0.5 * inner(res.s, Hv(res.s)))
+        np.testing.assert_allclose(float(res.predicted_decrease), dm,
+                                   rtol=1e-9, atol=1e-12,
+                                   err_msg=f"Delta={Delta} "
+                                           f"precon={precon is not None}")
+
+    # indefinite -> negative-curvature boundary exit
+    d_ind = jnp.asarray(rng.uniform(-3.0, 5.0, n))
+    Hv_i = lambda v: d_ind * v
+    res = stpcg(g, Hv_i, inner, 2.0, max_iterations=400,
+                kappa_fgr=1e-8, theta=0.999)
+    dm = float(-inner(g, res.s) - 0.5 * inner(res.s, Hv_i(res.s)))
+    np.testing.assert_allclose(float(res.predicted_decrease), dm,
+                               rtol=1e-9, atol=1e-12)

@@ -48,11 +48,12 @@ def _setup(seed=0, spread=25.0):
     return a_chunk, A_elem, x, rq, g
 
 
-def _run_streamed(a_chunk, x, rq, g, Delta, **kw):
+def _run_streamed(a_chunk, x, rq, g, Delta, body="pair", **kw):
     a0c, weights, B_fn = sphere_rayleigh_streamed(a_chunk)
     return stpcg_flat_streamed(
         g, x, B_fn(rq), Delta, aux_scalars=(rq,),
-        a0_chunk=a0c, weights=weights, chunk_rows=CR, interpret=True, **kw)
+        a0_chunk=a0c, weights=weights, chunk_rows=CR, interpret=True,
+        body_kind=body, **kw)
 
 
 def _run_flat(A_elem, x, rq, g, Delta, **kw):
@@ -60,12 +61,14 @@ def _run_flat(A_elem, x, rq, g, Delta, **kw):
     return stpcg_flat(g, A0, U, B, Delta, body_kind="single", **kw)
 
 
+@pytest.mark.parametrize("body", ["single", "pair"])
 @pytest.mark.parametrize("Delta", [1e6, 0.5, 0.02])
-def test_matches_flat_engine(Delta):
+def test_matches_flat_engine(Delta, body):
     a_chunk, A_elem, x, rq, g = _setup()
     ref = _run_flat(A_elem, x, rq, g, Delta, max_iterations=300,
                     kappa_fgr=0.05, theta=0.5)
-    res = _run_streamed(a_chunk, x, rq, g, Delta, max_iterations=300,
+    res = _run_streamed(a_chunk, x, rq, g, Delta, body=body,
+                        max_iterations=300,
                         kappa_fgr=0.05, theta=0.5)
     assert int(res.num_iterations) == int(ref.num_iterations), Delta
     np.testing.assert_allclose(float(res.update_step_M_norm),
@@ -80,8 +83,9 @@ def test_matches_flat_engine(Delta):
                                rtol=2e-3, atol=1e-8)
 
 
+@pytest.mark.parametrize("body", ["single", "pair"])
 @pytest.mark.parametrize("Delta", [1e6, 2.0])
-def test_interior_multi_iteration_parity(Delta):
+def test_interior_multi_iteration_parity(Delta, body):
     """Many interior CG iterations (genuinely PD operator: PSD low-rank
     coupling): the carried reduction-group recurrences must track the flat
     engine.  NB f32 parity here is CONTRACT parity, not bitwise trajectory
@@ -96,7 +100,7 @@ def test_interior_multi_iteration_parity(Delta):
     kappa = 1e-3
     res = stpcg_flat_streamed(
         g, x, B_pd, Delta, aux_scalars=(rq_pd,), a0_chunk=a0c,
-        weights=weights, chunk_rows=CR, interpret=True,
+        weights=weights, chunk_rows=CR, interpret=True, body_kind=body,
         max_iterations=400, kappa_fgr=kappa, theta=0.9)
     A0 = lambda v: 2.0 * A_elem(v) - rq_pd * v
     U = (x, (x, lambda v: 2.0 * A_elem(v)))
@@ -127,16 +131,18 @@ def test_negative_curvature_boundary():
     Delta = 5.0
     ref = _run_flat(A_elem, x, rq, g, Delta, max_iterations=500,
                     kappa_fgr=1e-8, theta=0.999)
-    res = _run_streamed(a_chunk, x, rq, g, Delta, max_iterations=500,
-                        kappa_fgr=1e-8, theta=0.999)
-    np.testing.assert_allclose(float(res.update_step_M_norm), Delta,
-                               rtol=1e-6)
-    np.testing.assert_allclose(float(jnp.linalg.norm(res.s)), Delta,
-                               rtol=1e-4)
-    assert int(res.num_iterations) == int(ref.num_iterations)
-    scale = max(float(jnp.linalg.norm(ref.s)), 1e-9)
-    np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
-                               atol=5e-4 * scale)
+    for body in ("single", "pair"):
+        res = _run_streamed(a_chunk, x, rq, g, Delta, body=body,
+                            max_iterations=500,
+                            kappa_fgr=1e-8, theta=0.999)
+        np.testing.assert_allclose(float(res.update_step_M_norm), Delta,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(jnp.linalg.norm(res.s)), Delta,
+                                   rtol=1e-4)
+        assert int(res.num_iterations) == int(ref.num_iterations)
+        scale = max(float(jnp.linalg.norm(ref.s)), 1e-9)
+        np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                                   atol=5e-4 * scale)
 
 
 def test_truncation_contract():
