@@ -112,8 +112,8 @@ def rayleigh_ritz(A: jnp.ndarray, B: jnp.ndarray,
 
 
 def _rayleigh_ritz_chol(A: jnp.ndarray, B: jnp.ndarray,
-                        eigh_fn=jnp.linalg.eigh
-                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                        eigh_fn=jnp.linalg.eigh, u_prev=None,
+                        jacobi_sweeps: int = 6):
     """Rayleigh-Ritz via shifted Cholesky whitening: the fleet fast path.
 
     The robust :func:`rayleigh_ritz` pays TWO dense eigendecompositions per
@@ -160,6 +160,23 @@ def _rayleigh_ritz_chol(A: jnp.ndarray, B: jnp.ndarray,
 
     Returns ``(theta, C, ok)`` with eigenvalues ascending (deflated columns
     last), ``C' B C ~ I`` on the kept subspace.
+
+    ``u_prev`` optionally WARM-STARTS the whitened eigenproblem with the
+    previous lockstep iteration's raw eigenvector matrix (the
+    ``rr_method="chol_warm"`` path): the eigh of At is then a
+    threshold-Jacobi solve seeded by ``u_prev`` (``jacobi_eigh(v0=)``,
+    capped at ``jacobi_sweeps``).  The return grows to
+    ``(theta, C, ok, U)`` with ``U`` the raw eigenvectors to seed the
+    next call.  **Measured verdict (round 4, v5e)**: isolated, a warm
+    1-sweep Jacobi beats the batched QDWH eigh (1.19 vs 2.27 ms at the
+    16 x 48 x 48 fleet shape, benchmarks/probe_warm_rr.py) — but
+    IN-FLEET the live basis changes enough per lockstep iteration that
+    the seeded solve needs several sweeps, whose sequential rotation
+    rounds pay this runtime's per-step loop overhead: 32.3 vs 25.2
+    ms/lockstep at config10 scale, with eigenvalue accuracy degrading
+    6.9e-6 -> 5.0e-4 when the sweep cap bites on stale seeds.  The
+    fleet default stays "chol"; "chol_warm" is a tested opt-in for
+    runtimes with cheap loop steps.
     """
     with jax.default_matmul_precision("float32"):
         n = B.shape[0]
@@ -206,7 +223,12 @@ def _rayleigh_ritz_chol(A: jnp.ndarray, B: jnp.ndarray,
         L2i = tri_inv(L2, eye)
         At = _mm(_mm(L2i, A1), L2i.T)
         At = 0.5 * (At + At.T)
-        theta0, U = eigh_fn(At)
+        if u_prev is not None:
+            from .jacobi import jacobi_eigh
+            theta0, U = jacobi_eigh(At, v0=u_prev,
+                                    max_sweeps=jacobi_sweeps)
+        else:
+            theta0, U = eigh_fn(At)
         C = _mm(_mm(L2i, L1i).T, U)
 
         # True (unshifted) per-column B-mass: deflation detect + polish.
@@ -223,6 +245,9 @@ def _rayleigh_ritz_chol(A: jnp.ndarray, B: jnp.ndarray,
         theta = jnp.where(spurious, big, theta)
         ok = jnp.all(jnp.isfinite(theta0))
         order = jnp.argsort(theta)
+        if u_prev is not None:
+            return (theta[order], C[:, order] * d[:, None], ok,
+                    U[:, order])
         return theta[order], C[:, order] * d[:, None], ok
 
 
@@ -263,6 +288,9 @@ class _State(NamedTuple):
     ok: jnp.ndarray
     residual_trace: jnp.ndarray
     nc_trace: jnp.ndarray
+    # Raw eigenvector seed of the whitened RR pencil (rr_method
+    # "chol_warm" only; () otherwise so the pytree stays uniform)
+    Useed: object = ()
 
 
 def lobpcg(
@@ -301,13 +329,18 @@ def lobpcg(
     - ``eigh_fn``: dense symmetric eigensolver for the (3nx)^2 Rayleigh-Ritz
       pencils (default ``jnp.linalg.eigh``); see :func:`rayleigh_ritz`.
     - ``rr_method``: ``"eigh"`` (default; deflating eigh whitening, robust to
-      near-collinear bases) or ``"chol"`` (shifted-Cholesky whitening — one
+      near-collinear bases), ``"chol"`` (shifted-Cholesky whitening — one
       eigh per iteration instead of two; ill-conditioning is *reported* via
       ``pencil_consistent`` instead of deflated.  The fleet fast path —
-      see :func:`_rayleigh_ritz_chol`).
+      see :func:`_rayleigh_ritz_chol`), or ``"chol_warm"`` (the chol path
+      with its eigh warm-started from the previous iteration's Ritz
+      rotation via threshold Jacobi; measured SLOWER in-fleet on this
+      runtime — see the verdict in :func:`_rayleigh_ritz_chol` — kept as
+      a tested opt-in).
     """
-    if rr_method not in ("eigh", "chol"):
-        raise ValueError('rr_method must be "eigh" or "chol"')
+    if rr_method not in ("eigh", "chol", "chol_warm"):
+        raise ValueError(
+            'rr_method must be "eigh", "chol", or "chol_warm"')
     if key is None:
         key = jax.random.PRNGKey(0)
     if X0 is None:
@@ -327,15 +360,28 @@ def lobpcg(
     Bop = B if B is not None else (lambda S: S)
     Top = T if T is not None else (lambda S: S)
 
-    if rr_method == "chol":
+    warm_rr = rr_method == "chol_warm"
+    if rr_method in ("chol", "chol_warm"):
         base_eigh = eigh_fn if eigh_fn is not None else jnp.linalg.eigh
 
         def _rr(Am, Bm):
             return _rayleigh_ritz_chol(Am, Bm, eigh_fn=base_eigh)
+
+        def _rr_loop(Am, Bm, useed):
+            if not warm_rr:
+                th, Cm, ok = _rayleigh_ritz_chol(Am, Bm,
+                                                 eigh_fn=base_eigh)
+                return th, Cm, ok, useed
+            return _rayleigh_ritz_chol(Am, Bm, eigh_fn=base_eigh,
+                                       u_prev=useed)
     else:
         def _rr(Am, Bm):
             th, Cm = rayleigh_ritz(Am, Bm, eigh_fn=eigh_fn)
             return th, Cm, jnp.asarray(True)
+
+        def _rr_loop(Am, Bm, useed):
+            th, Cm, ok = _rr(Am, Bm)
+            return th, Cm, ok, useed
 
     # Randomized 2-norm estimates (reference LOBPCG.h:199-214)
     omega = jax.random.normal(key, (m, nx), dtype)
@@ -382,6 +428,7 @@ def lobpcg(
             ok=ok0,
             residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
             nc_trace=jnp.full((n_trace,), -1, jnp.int32),
+            Useed=(jnp.eye(3 * nx, dtype=dtype) if warm_rr else ()),
         )
     else:
         k0, carry = warm_start
@@ -427,7 +474,7 @@ def lobpcg(
                 + jnp.diag(pos_sent * off))
         StBS = StBS * mask_s[:, None] * mask_s[None, :] + jnp.diag(off)
 
-        theta_all, C, rr_ok = _rr(StAS, StBS)
+        theta_all, C, rr_ok, Useed_new = _rr_loop(StAS, StBS, st.Useed)
 
         # Classify fake pairs by their (repaired-)B energy on the masked
         # coordinates: exactly 1 for fakes, 0 for active pairs (and 0 for
@@ -482,6 +529,8 @@ def lobpcg(
                                  frz(BX_new, st.BX))
         R_new, P_new = frz(R_new, st.R), frz(P_new, st.P)
         theta, nc, r = frz(theta, st.theta), frz(nc, st.nc), frz(r, st.r)
+        if warm_rr:
+            Useed_new = frz(Useed_new, st.Useed)
         done = done | ~rr_ok
 
         slot = k - 1 - k0
@@ -489,7 +538,8 @@ def lobpcg(
                       theta=theta, nc=nc, r=r, done=done, ok=ok,
                       residual_trace=st.residual_trace.at[slot].set(
                           jnp.max(r)),
-                      nc_trace=st.nc_trace.at[slot].set(nc))
+                      nc_trace=st.nc_trace.at[slot].set(nc),
+                      Useed=(Useed_new if warm_rr else ()))
 
     def cond(st: _State):
         return (st.k - k0 < max_iterations) & ~st.done
@@ -497,7 +547,8 @@ def lobpcg(
     st = jax.lax.while_loop(cond, body, st0)
 
     carry_out = dict(X=st.X, AX=st.AX, BX=st.BX, R=st.R, P=st.P,
-                     theta=st.theta, nc=st.nc, r=st.r, ok=st.ok)
+                     theta=st.theta, nc=st.nc, r=st.r, ok=st.ok,
+                     Useed=st.Useed)
     return LOBPCGResult(
         theta=st.theta[:nev],
         X=st.X[:, :nev],

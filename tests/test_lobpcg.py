@@ -425,3 +425,66 @@ def test_drive_lobpcg_fleet_chunked_matches_monolithic():
         kb = int(mono.num_iterations[b])
         assert np.isfinite(tr[b, :kb]).all()
     assert int(np.asarray(times).shape[0]) == 40
+
+
+class TestWarmRR:
+    """rr_method="chol_warm": the whitened RR eigh is a threshold-Jacobi
+    solve seeded by the previous lockstep iteration's eigenvectors
+    (jacobi_eigh(v0=)) — same convergence contract as "chol"."""
+
+    def _diag_problem(self, m=800, nx=8, nev=4):
+        d = jnp.linspace(1.0, 60.0, m)
+        A = lambda S: d[:, None] * S
+        T = lambda S: S / d[:, None]
+        return A, T, d
+
+    def test_matches_chol_convergence(self):
+        from optimization_tpu.linalg.lobpcg import lobpcg
+
+        A, T, d = self._diag_problem()
+        kw = dict(T=T, m=800, nx=8, nev=4, max_iterations=150, tau=1e-8,
+                  key=jax.random.PRNGKey(5))
+        r_chol = lobpcg(A, rr_method="chol", **kw)
+        r_warm = lobpcg(A, rr_method="chol_warm", **kw)
+        assert int(r_warm.num_converged) >= 4
+        assert bool(r_warm.pencil_consistent)
+        lam_true = np.asarray(d)[:4]
+        np.testing.assert_allclose(np.asarray(r_warm.theta), lam_true,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(r_warm.theta),
+                                   np.asarray(r_chol.theta), atol=1e-6)
+        # comparable iteration effort (warm RR changes only the eigh route)
+        assert (int(r_warm.num_iterations)
+                <= int(r_chol.num_iterations) + 10)
+
+    def test_warm_start_resume(self):
+        """Chunked driving must resume exactly: the Useed carry rides the
+        warm_start tuple."""
+        from optimization_tpu.linalg.lobpcg import lobpcg
+
+        A, T, d = self._diag_problem()
+        kw = dict(T=T, m=800, nx=8, nev=4, tau=1e-8,
+                  key=jax.random.PRNGKey(5), rr_method="chol_warm")
+        mono = lobpcg(A, max_iterations=60, **kw)
+        a = lobpcg(A, max_iterations=30, **kw)
+        b = lobpcg(A, max_iterations=30, warm_start=a.warm_start, **kw)
+        assert int(b.num_converged) >= 4
+        np.testing.assert_allclose(np.asarray(b.theta),
+                                   np.asarray(mono.theta), atol=1e-8)
+
+    def test_fleet_chol_warm(self):
+        from optimization_tpu.linalg.lobpcg import lobpcg_fleet
+
+        fleet, m, nx, nev = 6, 500, 8, 3
+        ds = (jnp.arange(1.0, fleet + 1.0)[:, None]
+              * jnp.linspace(1.0, 50.0, m)[None, :])
+        res = lobpcg_fleet(lambda S, d: d[:, None] * S, ds,
+                           T=lambda S, d: S / d[:, None],
+                           m=m, nx=nx, nev=nev, max_iterations=120,
+                           tau=1e-8, key=jax.random.PRNGKey(3),
+                           rr_method="chol_warm")
+        assert bool(jnp.all(res.num_converged >= nev))
+        lam_true = np.asarray(ds[:, :nev] if False else
+                              np.sort(np.asarray(ds), axis=1)[:, :nev])
+        np.testing.assert_allclose(np.asarray(res.theta), lam_true,
+                                   rtol=1e-6)
