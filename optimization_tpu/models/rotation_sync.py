@@ -240,11 +240,18 @@ def connection_laplacian_op(data: RotationSyncData, n: int, d: int,
 
 def spectral_init(data: RotationSyncData, n: int, d: int = 3,
                   key=None, max_iterations: int = 200,
-                  tau: float = 1e-3, rr_method: str = "eigh",
+                  tau: float = 1e-3, rr_method: str = "chol",
                   scatter_method: str = "scatter") -> jnp.ndarray:
     """SE-Sync-style chordal initialization: the d algebraically-smallest
     eigenvectors of the connection Laplacian (via our LOBPCG), reshaped to
-    (n, d, d) blocks and projected onto SO(d)."""
+    (n, d, d) blocks and projected onto SO(d).
+
+    ``rr_method`` defaults to the one-eigh chol RR (round 4): this is a
+    STANDARD eigenproblem (B = I), the easiest regime for Cholesky
+    whitening, at a loose tau — and the eigh-RR's second QDWH eigh was
+    the dominant share of this stage's cold compile (the same phenomenon
+    that put the certificate on chol-RR, benchmarks/probe_pose_stages.py:
+    cert compile 114 s eigh-RR -> 25 s chol-RR)."""
     from ..linalg.lobpcg import lobpcg
 
     if key is None:
