@@ -63,6 +63,7 @@ __all__ = ["stpcg_flat_streamed", "sphere_rayleigh_streamed"]
 
 LANES = 128
 DEF_CHUNK_ROWS = 2048          # 1 MiB f32 per array chunk
+PIN_X_BUDGET = 96 * 1024 * 1024   # pin x in VMEM while it fits this
 
 
 def _pow(x, e):
@@ -92,8 +93,14 @@ def _matk(M: Sequence[Sequence], v: Sequence):
 
 
 def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
-               kappa_fgr, theta, epsilon, n_aux, pair):
-    """Build the kernel body (all structure static)."""
+               kappa_fgr, theta, epsilon, n_aux, pair, sdt, pin_x):
+    """Build the kernel body (all structure static).
+
+    ``sdt``: the STORAGE dtype of g/x/s/r/p (f32 or bf16); all compute and
+    every dot accumulates in f32 (the engine tier contract).  ``pin_x``:
+    True pins the whole x in VMEM (zero per-iteration x traffic); False
+    streams x chunk-wise alongside r/p — required once x alone outgrows
+    the VMEM budget (f32 n >= 2^25, bf16 n >= 2^26)."""
     nch = n_rows // cr
     assert nch >= 2, "need >= 2 chunks for the double-buffered pipeline"
 
@@ -113,10 +120,23 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
         eps2 = jnp.asarray(epsilon, f32) ** 2
         tiny = jnp.asarray(jnp.finfo(f32).tiny, f32)
 
-        # ---- pin x in VMEM for the whole solve ----
-        cpx = pltpu.make_async_copy(x_hbm, x_vmem, sem_x)
-        cpx.start()
-        cpx.wait()
+        if pin_x:
+            # ---- pin x in VMEM for the whole solve ----
+            cpx = pltpu.make_async_copy(x_hbm, x_vmem, sem_x)
+            cpx.start()
+            cpx.wait()
+
+        def x_read(i, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * cr, cr), :], x_vmem.at[slot],
+                sem_in.at[slot, 3])
+
+        def x_chunk(i, slot):
+            """This chunk's x block in f32 registers (VMEM-pinned or the
+            streamed slot buffer)."""
+            if pin_x:
+                return x_vmem[pl.ds(i * cr, cr), :].astype(jnp.float32)
+            return x_vmem[slot].astype(jnp.float32)
 
         # ============ INIT PASS: r <- g, accumulate the init dot group
         # (rv0, ar0, nr0, m0, mA0, UU) — one read of g (streamed) + x
@@ -132,6 +152,8 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 sem_out.at[slot, 0])
 
         g_read(0, 0).start()
+        if not pin_x:
+            x_read(0, 0).start()
 
         def init_chunk(i, carry):
             (rv0, ar0, nr0, m0, mA0, UU) = carry
@@ -140,10 +162,14 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             @pl.when(i + 1 < nch)
             def _():
                 g_read(i + 1, (i + 1) % 2).start()
+                if not pin_x:
+                    x_read(i + 1, (i + 1) % 2).start()
 
             g_read(i, slot).wait()
-            gc = gin[slot]
-            xc = x_vmem[pl.ds(i * cr, cr), :]
+            if not pin_x:
+                x_read(i, slot).wait()
+            gc = gin[slot].astype(jnp.float32)
+            xc = x_chunk(i, slot)
             i0 = i * cr
             a0 = a0_chunk(i0, aux)
             a0g = a0 * gc
@@ -163,7 +189,7 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             def _():
                 r_write_init(i - 2, slot).wait()
 
-            rob[slot] = gc
+            rob[slot] = gc.astype(sdt)
             r_write_init(i, slot).start()
             return (rv0, ar0, nr0, m0, mA0, UU)
 
@@ -318,6 +344,8 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             # ---- THE streamed pass: r/p (+s when applying) in and out,
             # x from VMEM, diagonal regenerated per chunk ----
             rps_read(0, 0, apply_s)
+            if not pin_x:
+                x_read(0, 0).start()
 
             def chunk(i, acc):
                 rv2, ar2, nr2, pa2, mA2 = acc
@@ -326,11 +354,15 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 @pl.when(i + 1 < nch)
                 def _():
                     rps_read(i + 1, (i + 1) % 2, apply_s)
+                    if not pin_x:
+                        x_read(i + 1, (i + 1) % 2).start()
 
                 rps_read_wait(i, slot, apply_s)
-                rc = rin[slot]
-                pc = pin[slot]
-                xc = x_vmem[pl.ds(i * cr, cr), :]
+                if not pin_x:
+                    x_read(i, slot).wait()
+                rc = rin[slot].astype(jnp.float32)
+                pc = pin[slot].astype(jnp.float32)
+                xc = x_chunk(i, slot)
                 i0 = i * cr
                 a0 = a0_chunk(i0, aux)
                 ws = [w_chunk(j, i0, aux) for j in range(k_lr)]
@@ -355,17 +387,17 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 def _():
                     rps_write_wait(i - 2, slot, apply_s)
 
-                rob[slot] = r2
-                pob[slot] = p2
+                rob[slot] = r2.astype(sdt)
+                pob[slot] = p2.astype(sdt)
                 if apply_s:
-                    sc = sin[slot]
+                    sc = sin[slot].astype(jnp.float32)
                     # first-iteration guards: the s and p buffers hold
                     # garbage (possibly NaN) before their first write, and
                     # 0 * NaN = NaN — select, don't scale
                     sob[slot] = (jnp.where(s_valid != zero, sc, 0.0)
                                  + jnp.where(p_valid != zero,
                                              pend * pc, 0.0)
-                                 + cs * p2)
+                                 + cs * p2).astype(sdt)
                 rps_write(i, slot, apply_s)
                 return (rv2, ar2, nr2, pa2, mA2)
 
@@ -436,6 +468,7 @@ def stpcg_flat_streamed(
     epsilon: float = 1e-8,
     chunk_rows: int = DEF_CHUNK_ROWS,
     body_kind: str = "pair",
+    pin_x: Optional[bool] = None,
     interpret: bool = False,
 ) -> FlatCGResult:
     """Solve the flat trust-region subproblem with the whole-loop streamed
@@ -453,8 +486,12 @@ def stpcg_flat_streamed(
     winner at every size the kernel accepts.
     """
     n = g.shape[0]
-    if g.dtype != jnp.float32:
-        raise ValueError("streamed kernel is f32-only (the streamed tier)")
+    sdt = g.dtype
+    if sdt not in (jnp.float32, jnp.bfloat16):
+        raise ValueError("streamed kernel storage dtype must be f32 or "
+                         "bf16 (all compute accumulates in f32)")
+    if x.dtype != sdt:
+        raise ValueError("g and x must share the storage dtype")
     if n % (chunk_rows * LANES):
         raise ValueError(f"n={n} must be a multiple of "
                          f"{chunk_rows * LANES} for the streamed kernel")
@@ -467,14 +504,22 @@ def stpcg_flat_streamed(
 
     if body_kind not in ("single", "pair"):
         raise ValueError('body_kind must be "single" or "pair"')
+    # Pin x in VMEM when it fits the budget (zero per-iteration x
+    # traffic); else stream it chunk-wise alongside r/p (+2 slot buffers).
+    itemsize = jnp.dtype(sdt).itemsize
+    x_bytes = n_rows * LANES * itemsize
+    if pin_x is None:
+        pin_x = x_bytes <= PIN_X_BUDGET
     kernel = _mk_kernel(n_rows, chunk_rows, k_lr, a0_chunk, weights,
                         max_iterations, float(kappa_fgr), float(theta),
-                        float(epsilon), n_aux, body_kind == "pair")
+                        float(epsilon), n_aux, body_kind == "pair",
+                        sdt, pin_x)
 
     scal = jnp.stack([jnp.asarray(Delta, jnp.float32)]
                      + [jnp.asarray(a, jnp.float32) for a in aux_scalars])
-    shp = jax.ShapeDtypeStruct((n_rows, LANES), jnp.float32)
+    shp = jax.ShapeDtypeStruct((n_rows, LANES), sdt)
     cr = chunk_rows
+    x_vmem_shape = ((n_rows, LANES) if pin_x else (2, cr, LANES))
 
     s2d, _r2d, _p2d, res = pl.pallas_call(
         kernel,
@@ -491,20 +536,21 @@ def stpcg_flat_streamed(
                    pl.BlockSpec(memory_space=pl.ANY),    # p scratch
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=[
-            pltpu.VMEM((n_rows, LANES), jnp.float32),    # x pinned
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # g in
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # r in
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # p in
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # s in
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # r out
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # p out
-            pltpu.VMEM((2, cr, LANES), jnp.float32),     # s out
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM(x_vmem_shape, sdt),               # x (pin or slots)
+            pltpu.VMEM((2, cr, LANES), sdt),             # g in
+            pltpu.VMEM((2, cr, LANES), sdt),             # r in
+            pltpu.VMEM((2, cr, LANES), sdt),             # p in
+            pltpu.VMEM((2, cr, LANES), sdt),             # s in
+            pltpu.VMEM((2, cr, LANES), sdt),             # r out
+            pltpu.VMEM((2, cr, LANES), sdt),             # p out
+            pltpu.VMEM((2, cr, LANES), sdt),             # s out
+            pltpu.SemaphoreType.DMA((2, 4)),
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=(x_bytes if pin_x else 0)
+            + 16 * cr * LANES * itemsize + 24 * 1024 * 1024),
         interpret=interpret,
     )(scal, B, g.reshape(n_rows, LANES), x.reshape(n_rows, LANES))
 

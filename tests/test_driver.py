@@ -16,9 +16,9 @@ from optimization_tpu.core.types import (GradientDescentStatus, TNTStatus,
                                          ProximalGradientStatus, ADMMStatus)
 from optimization_tpu.manifolds import sphere
 from optimization_tpu.solvers import (admm, gradient_descent, prox,
+                                      proximal_gradient, tnls, tnt)
 
 pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
-                                      proximal_gradient, tnls, tnt)
 
 
 def rosenbrock(x, data):

@@ -312,7 +312,7 @@ def test_sharded_collectives_deterministic():
     identical — XLA's all-reduce order on a fixed mesh is deterministic,
     and solver-level reproducibility (the parity tests above) rests on it.
     Runs under OPTTPU_DEBUG_NANS too (no NaN carriers here)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     mesh = model_mesh(8)
     n = 4096

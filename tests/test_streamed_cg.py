@@ -244,3 +244,55 @@ def test_tnt_flat_solve_streamed_matches_flat_qm():
                                rtol=5e-4)
     assert abs(int(r_stream.num_iterations)
                - int(r_flat.num_iterations)) <= 3
+
+
+@pytest.mark.parametrize("pin", [True, False])
+def test_bf16_storage_parity(pin):
+    """bf16 storage / f32 accumulate, both x modes (pinned VMEM and
+    streamed-x — the latter is mandatory once x outgrows the pin budget:
+    f32 n >= 2^25, bf16 n >= 2^26)."""
+    a_chunk, A_elem, x, _rq, g = _setup(seed=9)
+    rq_pd = jnp.float32(0.5)
+    a0c, weights, _ = sphere_rayleigh_streamed(a_chunk)
+    B_pd = jnp.asarray([[1.0, 0.2], [0.2, 0.5]], jnp.float32)
+    xb = x.astype(jnp.bfloat16)
+    gb = g.astype(jnp.bfloat16)
+    # NB a huge Delta is a knife-edge in bf16: once CG stalls at the
+    # storage floor, a rounding-sign kappa <= 0 fires a sigma-step to the
+    # boundary and |s| jumps to Delta — both engines stall validly but
+    # not identically.  A tame Delta keeps the exit bounded and
+    # comparable.
+    Delta = 1.0
+    res = stpcg_flat_streamed(
+        gb, xb, B_pd, Delta, aux_scalars=(rq_pd,), a0_chunk=a0c,
+        weights=weights, chunk_rows=CR, interpret=True, pin_x=pin,
+        max_iterations=200, kappa_fgr=1e-2, theta=0.9)
+    assert res.s.dtype == jnp.bfloat16
+    # reference: the flat engine on the same bf16 inputs
+    A0 = lambda v: 2.0 * A_elem(v) - rq_pd * v.astype(jnp.float32)
+    U = (xb, (xb, lambda v: 2.0 * A_elem(v)))
+    ref = stpcg_flat(gb, A0, U, B_pd, Delta, body_kind="single",
+                     max_iterations=200, kappa_fgr=1e-2, theta=0.9)
+    assert abs(int(res.num_iterations) - int(ref.num_iterations)) <= 3
+    scale = max(float(jnp.linalg.norm(ref.s.astype(jnp.float32))), 1e-9)
+    np.testing.assert_allclose(
+        np.asarray(res.s, np.float32), np.asarray(ref.s, np.float32),
+        atol=3e-2 * scale)
+
+
+def test_streamed_x_mode_matches_pinned_f32():
+    """pin_x=False must be numerically identical to pinned mode (same
+    arithmetic, different data movement)."""
+    a_chunk, A_elem, x, rq, g = _setup(seed=11)
+    kw = dict(max_iterations=120, kappa_fgr=1e-2, theta=0.5)
+    a0c, weights, B_fn = sphere_rayleigh_streamed(a_chunk)
+    r_pin = stpcg_flat_streamed(
+        g, x, B_fn(rq), 1.0, aux_scalars=(rq,), a0_chunk=a0c,
+        weights=weights, chunk_rows=CR, interpret=True, pin_x=True, **kw)
+    r_str = stpcg_flat_streamed(
+        g, x, B_fn(rq), 1.0, aux_scalars=(rq,), a0_chunk=a0c,
+        weights=weights, chunk_rows=CR, interpret=True, pin_x=False, **kw)
+    assert int(r_pin.num_iterations) == int(r_str.num_iterations)
+    np.testing.assert_array_equal(np.asarray(r_pin.s), np.asarray(r_str.s))
+    np.testing.assert_array_equal(float(r_pin.update_step_M_norm),
+                                  float(r_str.update_step_M_norm))
