@@ -13,6 +13,7 @@ convergence parity: 1.0 when the Rayleigh quotient reaches the documented
 bf16 floor (f* = 1 + O(1e-2)) with a unit-norm final iterate.
 """
 
+import os
 import time
 
 import jax
@@ -54,8 +55,36 @@ def main():
 
         return g, hvp
 
+    # Round-4 subproblem engine: the whole-loop streamed Pallas kernel in
+    # its bf16 / streamed-x mode (x alone is 128 MiB at 2^26, past the
+    # VMEM pin budget).  Measured A/B at this regime
+    # (benchmarks/probe_streamed_bf16.py): 761.8 CG it/s (0.75 of spec at
+    # 6n avg words) vs 528.1 for the XLA pair body (0.61 at 7n) — 1.44x.
+    # OPTTPU_CONFIG7_ENGINE=xla reverts to the generic-engine baseline.
+    flat_solve = None
+    if os.environ.get("OPTTPU_CONFIG7_ENGINE", "stream") != "xla":
+        from optimization_tpu.kernels.streamed_cg import (
+            sphere_rayleigh_streamed, stpcg_flat_streamed)
+
+        def a_chunk(i0, aux, cr=2048):
+            row = (jax.lax.broadcasted_iota(jnp.int32, (cr, 128), 0)
+                   .astype(jnp.float32) + jnp.asarray(i0, jnp.float32))
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (cr, 128), 1).astype(jnp.float32)
+            return 1.0 + jnp.asarray(b, jnp.float32) * (row * 128.0 + lane)
+
+        a0c, weights, B_fn = sphere_rayleigh_streamed(a_chunk)
+
+        def flat_solve(g, x, dd, aux, Delta, prm):
+            rq = jnp.dot(x.astype(jnp.float32), 2.0 * A_op(x))
+            return stpcg_flat_streamed(
+                g, x, B_fn(rq), Delta, aux_scalars=(rq,), a0_chunk=a0c,
+                weights=weights, max_iterations=prm.max_TPCG_iterations,
+                kappa_fgr=prm.kappa_fgr, theta=prm.theta)
+
     problem = RiemannianProblem(f=f, manifold=M, grad=grad,
-                                quadratic_model=quadratic_model)
+                                quadratic_model=quadratic_model,
+                                flat_solve=flat_solve)
     x0 = M.rand(jax.random.PRNGKey(2), n).astype(dtype)
     params = tnt.TNTParams(
         max_iterations=30, max_TPCG_iterations=50,
@@ -63,10 +92,10 @@ def main():
         stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
 
     res = tnt.solve(problem, x0, params, data=None)
-    jax.block_until_ready(res.x)
-    t0 = time.perf_counter()
-    res = tnt.solve(problem, x0, params, data=None)
-    jax.block_until_ready(res.x)
+    float(res.f)          # timing must close with a HOST TRANSFER:
+    t0 = time.perf_counter()   # block_until_ready returns early on the
+    res = tnt.solve(problem, x0, params, data=None)   # axon runtime
+    float(res.f)
     dt = time.perf_counter() - t0
 
     outer = int(res.num_iterations)
