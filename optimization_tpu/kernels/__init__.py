@@ -24,12 +24,24 @@ boundary blocks XLA's cross-op fusion, so locally-faster kernels can lose
 end-to-end — see ``stpcg(fused_dots=...)``. The stencil matvecs win because
 XLA materializes their pad/slice shifts.
 
+Round 4 added the tier where Pallas wins decisively: the WHOLE-LOOP
+streamed CG kernel (:mod:`streamed_cg` — :func:`stpcg_flat_streamed`)
+owns the entire trust-region subproblem, pins the loop-invariant U base
+vector in VMEM, and hand-schedules double-buffered DMA for s/r/p — 5n
+real words/iteration at 0.80 of spec HBM in the > VMEM regime (1951 CG
+it/s f32 n=2^24 vs 1359 for the best XLA body; 1.98x end-to-end on the
+bf16 n=2^26 scale tier).  The design rule: Pallas pays when the kernel
+owns a loop (residency + DMA schedule), not when it replaces single ops
+inside XLA fusions.
+
 Every kernel transparently falls back to interpret mode off-TPU, so the same
 code path is unit-tested on CPU and compiled on hardware.
 """
 
 from .fused import (affine_stencil_matvec, axpy_selfdot, cg_dots,
                     diag_stencil_matvec, gram_pair, on_tpu, stream3_probe)
+from .streamed_cg import sphere_rayleigh_streamed, stpcg_flat_streamed
 
 __all__ = ["affine_stencil_matvec", "axpy_selfdot", "cg_dots",
-           "diag_stencil_matvec", "gram_pair", "on_tpu", "stream3_probe"]
+           "diag_stencil_matvec", "gram_pair", "on_tpu", "stream3_probe",
+           "sphere_rayleigh_streamed", "stpcg_flat_streamed"]
