@@ -95,14 +95,23 @@ def main():
     t_f32_net = max(t_f32 - charge, 1e-9)
     t_esc_net = max(t_esc - 2 * charge, 1e-9)
 
-    ok = ge <= GRAD_TOL and int(e.status) == 1   # GRADIENT
+    # Independent verification of the achieved gradients (outside the
+    # timed region): the evaluator's fused gn once underflowed near the
+    # optimum (fixed — sphere_rayleigh_step), so the claim is re-checked
+    # with the explicit gradient field here.
+    g32_true = float(jnp.linalg.norm(problem.rgrad(r32.x, None)))
+    ge_true = float(jnp.linalg.norm(problem.rgrad(e.x, None)))
+
+    ok = ge_true <= GRAD_TOL and int(e.status) == 1   # GRADIENT
     speedup = t_f32_net / t_esc_net
     emit("bf16_f32_escalation_speedup", round(speedup, 3),
-         f"pure-f32 {t_f32_net:.2f}s (|g|={g32:.1e}, f={f32v:.5f}, "
-         f"{int(r32.num_iterations)} outer) vs escalated {t_esc_net:.2f}s "
-         f"(|g|={ge:.1e}, f={fe:.5f}, switch@{int(e.switch_iteration)} "
-         f"bf16 + {int(e.stage_high.num_iterations)} f32 outer, "
-         f"status={int(e.status)}); both to |grad| <= {GRAD_TOL}; "
+         f"pure-f32 {t_f32_net:.2f}s (|g|={g32:.1e}/true {g32_true:.1e}, "
+         f"f={f32v:.5f}, {int(r32.num_iterations)} outer) vs escalated "
+         f"{t_esc_net:.2f}s (|g|={ge:.1e}/true {ge_true:.1e}, f={fe:.5f}, "
+         f"switch@{int(e.switch_iteration)} bf16 + "
+         f"{int(e.stage_high.num_iterations)} f32 outer, "
+         f"status={int(e.status)}); both to |grad| <= {GRAD_TOL}, "
+         f"independently re-verified with the explicit gradient field; "
          f"net of {charge * 1e3:.0f} ms/dispatch charge"
          + ("" if ok else "; WARNING escalated run missed the tolerance"),
          speedup if ok else 0.0)

@@ -1192,14 +1192,26 @@ def sphere_rayleigh_step(A_elem, with_init: bool = True):
         rqp = 2.0 * f_prop
         x_prop = (c * u).astype(x.dtype)
         g = ((2.0 * c) * au - (rqp * c) * u).astype(x.dtype)
-        gn = jnp.sqrt(jnp.maximum(4.0 * na2 / n2 - rqp * rqp, 0.0))
         if not with_init:
+            # |grad| by the algebraic identity 4 na2/n2 - rq'^2: ONE
+            # reduction group, but catastrophic cancellation near the
+            # optimum (the terms are ~rq'^2 >> |g|^2, so the f32 floor is
+            # ~sqrt(eps)*rq' ~ 1e-3 at rq'~2) — fine for fixed-effort
+            # benchmarking, NOT for tight gradient-tolerance termination.
+            gn = jnp.sqrt(jnp.maximum(4.0 * na2 / n2 - rqp * rqp, 0.0))
             return x_prop, f_prop, g, gn, SphereStepAux(rq=rqp, init=None)
         # The dot group the next CG solve needs, computed on the CAST
         # x_prop/g exactly as the engine itself would (same helper, same
         # accumulation), so init-threading is numerically invisible.
         A0p, Up, Bp, _ = sphere_rayleigh_flat(x_prop, A_elem, rq=rqp)
         init = flat_init_dots(g, A0p, Up, Bp)
+        # |grad| from the init group's <g, g>: an explicit
+        # sum-of-squared-residual-entries, cancellation-free (the
+        # identity form above underflows to 0 near the optimum and a
+        # GRADIENT stop would fire on a corrupted norm — observed on the
+        # escalation benchmark at |g|_true ~ 1e-3).  Free: the dot
+        # already rides the init reduction group.
+        gn = jnp.sqrt(init.rv)
         return x_prop, f_prop, g, gn, SphereStepAux(rq=rqp, init=init)
 
     return step_eval

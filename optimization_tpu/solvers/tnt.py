@@ -403,6 +403,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         rho = df / dm
         accepted, very_successful, unsuccessful = step_decision(
             rho, dm, params.eta1, params.eta2)
+        acc_floor = jnp.asarray(False)
         if params.floor_acceptance:
             # sub-epsilon model decrease: accept on the model's word, hold
             # the radius (see TNTParams.floor_acceptance)
@@ -438,11 +439,18 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         gn_new = jnp.where(apply, gn_acc, st.gradnorm)
         pgn_new = jnp.where(apply, pgn_acc, st.pgradnorm)
 
+        # Floor-accepted steps (sub-epsilon df, possibly df < 0 by a
+        # rounding ulp) must NOT fire the relative-decrease stop — with
+        # relative_decrease_tolerance = 0 a one-ulp-negative df would
+        # otherwise terminate the solve exactly when floor acceptance is
+        # keeping it alive.
+        apply_meas = apply & ~acc_floor
         status = jnp.where(
             user_stop,
             TNTStatus.USER_FUNCTION.value,
             jnp.where(
-                apply & (relative_decrease < params.relative_decrease_tolerance),
+                apply_meas
+                & (relative_decrease < params.relative_decrease_tolerance),
                 TNTStatus.RELATIVE_DECREASE.value,
                 jnp.where(apply & (h_norm < params.stepsize_tolerance),
                           TNTStatus.STEPSIZE.value,
@@ -548,27 +556,28 @@ def solve_escalated(
     converge-to-|grad|-tolerance termination contract (``TNT.h:122-125``)
     at (mostly) the low-tier's speed.
 
-    Stage 1 (low) runs with ``relative_decrease_tolerance`` floored at the
-    low dtype's epsilon: per-step objective decreases below
-    ``eps_low * |f|`` are indistinguishable from storage rounding, so the
-    reference's own RelativeDecrease criterion IS the stall detector — no
-    new semantics.  (A caller-supplied ``low_params`` overrides the whole
-    stage-1 param set.)  Stage 2 recasts the iterate, carries the
-    trust-region radius across (``Delta0`` warm-start seam), and runs the
-    unmodified params.  The stitched traces expose the crossover:
+    Stage 1 (low) runs until the reference's own TRUST-REGION-collapse
+    criterion fires: at the low dtype's floor, trial steps stop producing
+    measurable decrease, get rejected, and the radius shrinks below
+    ``Delta_tolerance`` — the natural floor detector, with no new
+    semantics.  (The RelativeDecrease criterion is deliberately NOT used
+    as the detector: on slowly-converging problems the per-step relative
+    decrease drops below eps_low long before the storage floor is
+    reached — measured on the kappa=1000 n=2^24 Rayleigh config it
+    switched at outer 15 of ~170, forfeiting the low tier's speed.)
+    A caller-supplied ``low_params`` overrides the whole stage-1 set.
+    Stage 2 recasts the iterate and runs the unmodified params from a
+    FRESH ``params.Delta0`` (the carried radius is collapsed by
+    construction; TNT re-grows in a handful of very-successful steps).
     ``switch_iteration`` is where stage 1 stopped.
-
-    Measured on the n=2^24 Rayleigh headline config (benchmarks/
-    config12_escalation.py): the bf16 tier covers the bulk of the descent
-    at its ~4x speed and the f32 tail is short, so time-to-|grad|-tol
-    beats pure f32 while terminating with exactly the same criteria.
     """
     if low_params is None:
-        eps_low = float(jnp.finfo(low_dtype).eps)
         low_params = dataclasses.replace(
             params,
-            relative_decrease_tolerance=max(
-                params.relative_decrease_tolerance, eps_low),
+            # the floor detector: reject-shrink until TR collapse
+            relative_decrease_tolerance=0.0,
+            stepsize_tolerance=0.0,
+            Delta_tolerance=max(params.Delta_tolerance, 1e-6),
             # stage 1 may hit the final gradient tolerance early; keep it
             gradient_tolerance=params.gradient_tolerance,
         )
@@ -592,9 +601,10 @@ def solve_escalated(
     x_high = jax.tree_util.tree_map(cast(high_dtype), res_low.x)
     x_high = problem.manifold.retract(
         x_high, jax.tree_util.tree_map(jnp.zeros_like, x_high))
-    Delta_sw = res_low.trust_region_radius[res_low.num_iterations]
-    res_high = solve(problem, x_high, params, data=data,
-                     Delta0=Delta_sw.astype(jnp.float32))
+    # fresh radius: stage 1 exits with a collapsed trust region by
+    # construction (its floor detector IS the collapse); carrying it
+    # would make stage 2 spend its first iterations re-growing
+    res_high = solve(problem, x_high, params, data=data)
 
     return EscalatedResult(
         x=res_high.x, f=res_high.f, gradfx_norm=res_high.gradfx_norm,

@@ -341,10 +341,10 @@ def test_bf16_f32_escalation():
     assert int(res.switch_iteration) > 0          # bf16 stage did work
     assert res.stage_low.x.dtype == jnp.bfloat16
     assert res.x.dtype == jnp.float32
-    # the bf16 stage stopped at its floor, NOT at the final tolerance
+    # the bf16 stage stopped at its floor (TR collapse is the floor
+    # detector) or already at the final tolerance
     assert int(res.stage_low.status) in (
-        TNTStatus.RELATIVE_DECREASE, TNTStatus.GRADIENT,
-        TNTStatus.STEPSIZE)
+        TNTStatus.TRUST_REGION, TNTStatus.GRADIENT)
     # final termination honors the caller's gradient tolerance
     assert int(res.status) == TNTStatus.GRADIENT
     assert float(res.gradfx_norm) < 2e-4
