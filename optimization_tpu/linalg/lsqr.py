@@ -45,6 +45,13 @@ class LSQRResult(NamedTuple):
     x: Any
     xnorm: jnp.ndarray
     num_iterations: jnp.ndarray
+    # |b - A x|^2 at the returned x, tracked by scalar recurrence (exact in
+    # exact arithmetic, including through the trust-region boundary clip) —
+    # lets TNLS form its model decrease dq = |F|^2 - |J h + F|^2 without a
+    # second Jacobian application (reference TNLS.h:565-572 applies gradFx
+    # to h explicitly; the recurrence removes that subgraph entirely, the
+    # same move as STPCG's predicted_decrease recurrence).
+    rsq: jnp.ndarray = jnp.nan
 
 
 class _State(NamedTuple):
@@ -67,6 +74,7 @@ class _State(NamedTuple):
     xxnorm: jnp.ndarray
     rbar_norm: jnp.ndarray
     Abar_rbar_norm: jnp.ndarray
+    rsq: jnp.ndarray
     stop: jnp.ndarray
 
 
@@ -155,6 +163,7 @@ def lsqr(
         Abar_norm_est=zero, D_Fnorm2=zero,
         xnorm=zero, xxnorm=zero,
         rbar_norm=beta0, Abar_rbar_norm=Abar_rbar0,
+        rsq=beta0 * beta0,  # x = 0: |b - A x|^2 = |b|^2
         # b is already a least-squares solution (A'b = 0): return immediately
         stop=(Abar_rbar0 == 0),
     )
@@ -238,6 +247,21 @@ def lsqr(
         rbar_norm = jnp.sqrt(phibar * phibar + res2)
         Abar_rbar_norm = alpha * jnp.abs(tau)
 
+        # Undamped residual |b - A x_new|^2 by recurrence.  The augmented
+        # residual along the search direction is the quadratic
+        #   |rbar(x + t w)|^2 = phibar^2 + res2 + (t rho - phi)^2
+        # because (i) the full step t = phi/rho is its line minimizer (the
+        # Krylov-space minimizer x_k lies on this line) and (ii)
+        # |Abar w|^2 = rho^2 exactly (Abar D_k = U~ Qbar^T [I;0] has
+        # orthonormal columns, so |Abar d_k| = 1 with d_k = w_k / rho).
+        # Subtracting the damping term lam |x_new|^2 recovers |b - A x|^2 —
+        # exact through the trust-region clip, where |x_new| = Delta by
+        # construction of t1 (this is the boundary case the reference's
+        # explicit gradFx(x,h) product exists to cover, TNLS.h:565-572).
+        clip = t1 * rho - phi
+        rsq = jnp.maximum(
+            phibar * phibar + res2 + clip * clip - lam * xnorm * xnorm, 0.0)
+
         # --- stopping tests S1-S4 (reference IterativeSolvers.h:824-841) ---
         s1 = rbar_norm <= btol * bnorm + Atol * Abar_norm * xnorm
         s2 = Abar_rbar_norm <= Atol * Abar_norm * rbar_norm
@@ -258,8 +282,10 @@ def lsqr(
             Abar_norm_est=Abar_norm, D_Fnorm2=D_Fnorm2,
             xnorm=xnorm, xxnorm=xxnorm,
             rbar_norm=rbar_norm, Abar_rbar_norm=Abar_rbar_norm,
+            rsq=rsq,
             stop=stop,
         )
 
     st = jax.lax.while_loop(cond, body, st0)
-    return LSQRResult(x=st.x, xnorm=st.xnorm, num_iterations=st.k)
+    return LSQRResult(x=st.x, xnorm=st.xnorm, num_iterations=st.k,
+                      rsq=st.rsq)

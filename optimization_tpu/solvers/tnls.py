@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.problem import LeastSquaresProblem
-from ..core.tree import tree_axpy, tree_neg, tree_where
+from ..core.tree import tree_neg, tree_where
 from ..core.types import SmoothOptimizerParams, TNLSStatus
 from ..linalg.lsqr import lsqr
 from .tnt import step_decision
@@ -225,12 +225,17 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
             h = Mp(x, h, data)  # back to un-preconditioned coordinates
         h_norm = jnp.sqrt(M.inner(x, h, h))
 
-        # Trial point and gain ratio on squared residuals (TNLS.h:551-583)
+        # Trial point and gain ratio on squared residuals (TNLS.h:551-583).
+        # The linearized squared residual |J h + F|^2 comes from LSQR's
+        # plane-rotation recurrence (lsqr.py: LSQRResult.rsq) instead of the
+        # reference's explicit gradFx(x, h) product (TNLS.h:565-572) —
+        # identical in exact arithmetic (incl. the TR-boundary clip), and it
+        # removes one whole Jacobian application per outer iteration AND the
+        # second J subgraph from the compiled program (the same
+        # program-shrinking move as STPCG's predicted_decrease recurrence).
         x_prop = M.retract(x, h)
         Fx_prop, Fx_prop_sq, Fn_prop = residual_norms(x_prop)
-        r = tree_axpy(1.0, Fx, J_op(h))
-        r2 = inner_Y(r, r)
-        dq = st.Fx_sq - r2
+        dq = st.Fx_sq - ls.rsq
         dL = st.Fx_norm - Fn_prop
         df2 = st.Fx_sq - Fx_prop_sq
         relative_decrease = dL / (sqrt_eps + st.Fx_norm)

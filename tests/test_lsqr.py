@@ -105,3 +105,55 @@ def test_user_function_early_stop():
     res = lsqr(lambda v: A @ v, lambda u: A.T @ u, b, inner, inner,
                max_iterations=100, user_function=stop)
     assert int(res.num_iterations) == 1
+
+
+def _explicit_rsq(x):
+    """|b - A x|^2 computed explicitly (what the recurrence must match)."""
+    return lambda b: float(jnp.dot(b - A @ x, b - A @ x))
+
+
+@pytest.mark.parametrize("lam,Delta", [
+    (0.0, None),          # plain least squares
+    (0.0, 0.35),          # trust-region clip (Delta < |x_LS|)
+    (1.0, None),          # Tikhonov damping
+    (1.0, 0.2),           # damping + clip
+])
+def test_rsq_recurrence_matches_explicit(lam, Delta):
+    """LSQRResult.rsq (the scalar-recurrence |b - A x|^2 that lets TNLS skip
+    the reference's explicit gradFx(x,h) product, TNLS.h:565-572) must match
+    the explicitly computed residual in every regime, including through the
+    trust-region boundary clip."""
+    b = jnp.array([1.0, 9.0, 10.0, 2.0])
+    res = lsqr(A_op, At_op, b, inner, inner, lam=lam, btol=0.0, Atol=1e-10,
+               cond_limit=1e14, Delta=Delta, max_iterations=50)
+    explicit = float(jnp.dot(b - A @ res.x, b - A @ res.x))
+    assert float(res.rsq) == pytest.approx(explicit, rel=1e-8, abs=1e-10)
+    if Delta is not None:
+        # the clip actually fired (otherwise this case tests nothing)
+        assert float(res.xnorm) == pytest.approx(Delta, abs=1e-9)
+
+
+def test_rsq_recurrence_random_sweep():
+    """Recurrence == explicit residual over random rectangular systems,
+    damping values, and binding/non-binding trust regions, at every
+    truncation point (max_iterations sweep) — the TNLS forcing term stops
+    LSQR early, so mid-iteration values matter as much as converged ones."""
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        m, n = int(rng.integers(3, 12)), int(rng.integers(2, 8))
+        Arnd = jnp.asarray(rng.normal(size=(m, n)))
+        b = jnp.asarray(rng.normal(size=(m,)))
+        lam = float(rng.choice([0.0, 0.0, 0.3, 2.0]))
+        xLS = np.linalg.lstsq(np.asarray(Arnd), np.asarray(b), rcond=None)[0]
+        Delta = (None if trial % 2 else
+                 float(0.3 + 0.7 * rng.random()) * max(
+                     float(np.linalg.norm(xLS)), 1e-3))
+        for kmax in (1, 2, 5, 30):
+            res = lsqr(lambda v: Arnd @ v, lambda u: Arnd.T @ u, b,
+                       inner, inner, lam=lam, btol=0.0, Atol=1e-12,
+                       cond_limit=1e14, Delta=Delta, max_iterations=kmax)
+            r = b - Arnd @ res.x
+            explicit = float(jnp.dot(r, r))
+            assert float(res.rsq) == pytest.approx(
+                explicit, rel=1e-7, abs=1e-9), (
+                trial, m, n, lam, Delta, kmax)
