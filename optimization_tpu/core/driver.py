@@ -20,7 +20,11 @@ monolithic run of the same solver.  Each chunk reuses one compiled program
 Granularity of host facilities is the chunk: ``max_computation_time`` is
 checked between chunks (the reference checks between iterations), and all
 iterations in a chunk share the chunk-end timestamp in ``result.times``.
-``chunk_iterations=1`` recovers exact per-iteration behavior.
+``chunk_iterations=1`` recovers exact per-iteration behavior;
+``time_interpolation=True`` instead interpolates the timestamps linearly
+across each chunk (reference-shaped monotone per-iteration times at zero
+extra dispatches — an even-split model, since iterations inside one
+compiled chunk genuinely share device time).
 
 Cost model: every chunk boundary is a host-synchronized dispatch, whose
 price is runtime-dependent — ~0.6 ms on a local PJRT runtime, but ~26-50
@@ -229,8 +233,33 @@ def _stitch(results, counts, field, kind, total, final_extra):
     return jnp.asarray(out)
 
 
+def _fill_times(n_slots, counts, chunk_times, interpolate):
+    """Per-iteration wall-clock vector from per-chunk end timestamps.
+
+    Default: every iteration of a chunk carries the chunk-end timestamp
+    (the documented granularity deviation from the reference's
+    per-iteration stopwatch, ``Util/Stopwatch.h:15-29`` via
+    ``TNT.h:454-459``).  With ``interpolate=True`` the timestamps are
+    linearly interpolated across each chunk between the previous and
+    current chunk ends — reference-shaped per-iteration times without
+    paying the per-iteration dispatch charge of ``chunk_iterations=1``
+    (iterations inside one compiled chunk genuinely share device time, so
+    the interpolated values are an even-split model, labeled as such)."""
+    times = np.full((n_slots,), np.nan, np.float32)
+    pos, prev = 0, 0.0
+    for i, t in zip(counts, chunk_times):
+        if interpolate and i > 0:
+            times[pos:pos + i] = prev + (t - prev) * (
+                np.arange(1, i + 1, dtype=np.float32) / i)
+        else:
+            times[pos:pos + i] = t
+        pos += i
+        prev = t
+    return times, pos
+
+
 def _drive(adapter: _Adapter, params, chunk_iterations, observer,
-           checkpoint_path, x0):
+           checkpoint_path, x0, time_interpolation=False):
     verbose = params.verbose
     if chunk_iterations is None:
         chunk_iterations = 1 if verbose else max(1, params.max_iterations // 10)
@@ -305,13 +334,10 @@ def _drive(adapter: _Adapter, params, chunk_iterations, observer,
         updates["iterates"] = jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs)[:params.max_iterations + 1],
             *sliced)
-    # times: every iteration of a chunk carries the chunk-end timestamp.
-    times = np.full((params.max_iterations + (1 if adapter.pre_traces else 0),),
-                    np.nan, np.float32)
-    pos = 0
-    for i, t in zip(counts, chunk_times):
-        times[pos:pos + i] = t
-        pos += i
+    # times: chunk-end timestamps, optionally interpolated (_fill_times)
+    times, pos = _fill_times(
+        params.max_iterations + (1 if adapter.pre_traces else 0),
+        counts, chunk_times, time_interpolation)
     if pos < len(times):
         times[pos] = chunk_times[-1]
     updates["times"] = jnp.asarray(times)
@@ -331,7 +357,8 @@ def _drive(adapter: _Adapter, params, chunk_iterations, observer,
 def drive(solver, problem, x0, params, data=None, *,
           user_function=None, chunk_iterations: Optional[int] = None,
           observer: Optional[Callable[..., None]] = None,
-          checkpoint_path: Optional[str] = None):
+          checkpoint_path: Optional[str] = None,
+          time_interpolation: bool = False):
     """Run ``solver.solve`` in host-driven chunks.
 
     - ``solver``: one of the solver modules ``gradient_descent`` / ``tnt`` /
@@ -346,19 +373,24 @@ def drive(solver, problem, x0, params, data=None, *,
       every chunk (crash-resumable long solves).
     - ``chunk_iterations``: dispatch granularity; defaults to 1 when verbose,
       else max_iterations/10.
+    - ``time_interpolation``: linearly interpolate ``result.times`` across
+      each chunk (reference-shaped per-iteration timestamps without the
+      per-iteration dispatch charge of ``chunk_iterations=1``); default
+      False keeps the documented chunk-end-timestamp granularity.
 
     Returns the same result type as ``solver.solve``, with stitched traces
     identical to a monolithic run.
     """
     adapter = _adapter_for(solver, problem, params, data, user_function)
     return _drive(adapter, params, chunk_iterations, observer,
-                  checkpoint_path, x0)
+                  checkpoint_path, x0, time_interpolation)
 
 
 def drive_admm(problem, c, x0, y0, params, data=None, *,
                chunk_iterations: Optional[int] = None,
                observer: Optional[Callable[..., None]] = None,
-               checkpoint_path: Optional[str] = None):
+               checkpoint_path: Optional[str] = None,
+               time_interpolation: bool = False):
     """Host-chunked ADMM (see :func:`drive`).  Resumes via the solver's
     ``warm_start`` seam, so acceleration/penalty state carries exactly."""
     from ..core.types import ADMMStatus as S
@@ -439,11 +471,8 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
             return flat
 
         updates["iterates"] = jax.tree_util.tree_map(cat, *sliced)
-    times = np.full((params.max_iterations,), np.nan, np.float32)
-    pos = 0
-    for i, t in zip(counts, chunk_times):
-        times[pos:pos + i] = t
-        pos += i
+    times, _ = _fill_times(params.max_iterations, counts, chunk_times,
+                           time_interpolation)
     updates["times"] = jnp.asarray(times)
 
     result = last._replace(
@@ -464,7 +493,8 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
 def _drive_lobpcg_loop(run_chunk, *, iters_of, converged, verbose_line,
                        summarize, fleet, nev, max_iterations,
                        max_computation_time, verbose, precision,
-                       chunk_iterations, observer, checkpoint_path):
+                       chunk_iterations, observer, checkpoint_path,
+                       time_interpolation=False):
     """Shared chunk loop / trace stitching for :func:`drive_lobpcg` and
     :func:`drive_lobpcg_fleet` (they differ only in the solver call, the
     per-iteration verbose aggregate, the converged test, and whether the
@@ -514,12 +544,12 @@ def _drive_lobpcg_loop(run_chunk, *, iters_of, converged, verbose_line,
     shape = (max_iterations,) if fleet is None else (fleet, max_iterations)
     res_trace = np.full(shape, np.nan, np.float32)
     nc_trace = np.full(shape, -1, np.int32)
-    times = np.full((max_iterations,), np.nan, np.float32)
+    times, _ = _fill_times(max_iterations, counts, chunk_times,
+                           time_interpolation)
     pos = 0
     for r, i, t in zip(results, counts, chunk_times):
         res_trace[..., pos:pos + i] = np.asarray(r.residual_trace)[..., :i]
         nc_trace[..., pos:pos + i] = np.asarray(r.nc_trace)[..., :i]
-        times[pos:pos + i] = t
         pos += i
 
     result = last._replace(residual_trace=jnp.asarray(res_trace),
@@ -535,7 +565,8 @@ def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
                  max_computation_time=float("inf"), verbose=False,
                  precision=3, chunk_iterations: Optional[int] = None,
                  observer: Optional[Callable[..., None]] = None,
-                 checkpoint_path: Optional[str] = None):
+                 checkpoint_path: Optional[str] = None,
+                 time_interpolation: bool = False):
     """Host-chunked standalone LOBPCG (the reference's public front-end,
     ``LinearAlgebra/LOBPCG.h:131-140``): wall-clock limit, per-iteration
     verbose lines, times, and a final status report, via the solver's
@@ -573,7 +604,8 @@ def drive_lobpcg(A, B=None, T=None, *, X0=None, m=None, nx=None, nev,
         nev=nev, max_iterations=max_iterations,
         max_computation_time=max_computation_time, verbose=verbose,
         precision=precision, chunk_iterations=chunk_iterations,
-        observer=observer, checkpoint_path=checkpoint_path)
+        observer=observer, checkpoint_path=checkpoint_path,
+        time_interpolation=time_interpolation)
 
 
 def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
@@ -582,7 +614,8 @@ def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
                        max_computation_time=float("inf"), verbose=False,
                        precision=3, chunk_iterations: Optional[int] = None,
                        observer: Optional[Callable[..., None]] = None,
-                       checkpoint_path: Optional[str] = None):
+                       checkpoint_path: Optional[str] = None,
+                       time_interpolation: bool = False):
     """Host-chunked fleet LOBPCG: :func:`drive_lobpcg`'s host facilities
     (wall-clock limit, verbose lines, observers, crash checkpoints) for
     ``linalg.lobpcg.lobpcg_fleet`` — long certification / spectral-init
@@ -633,4 +666,5 @@ def drive_lobpcg_fleet(A, data, *, B=None, T=None, X0=None, m=None, nx=None,
         nev=nev, max_iterations=max_iterations,
         max_computation_time=max_computation_time, verbose=verbose,
         precision=precision, chunk_iterations=chunk_iterations,
-        observer=observer, checkpoint_path=checkpoint_path)
+        observer=observer, checkpoint_path=checkpoint_path,
+        time_interpolation=time_interpolation)

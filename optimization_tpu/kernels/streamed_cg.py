@@ -93,14 +93,19 @@ def _matk(M: Sequence[Sequence], v: Sequence):
 
 
 def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
-               kappa_fgr, theta, epsilon, n_aux, pair, sdt, pin_x):
+               kappa_fgr, theta, epsilon, n_aux, pair, sdt, pin_x,
+               with_init=False):
     """Build the kernel body (all structure static).
 
     ``sdt``: the STORAGE dtype of g/x/s/r/p (f32 or bf16); all compute and
     every dot accumulates in f32 (the engine tier contract).  ``pin_x``:
     True pins the whole x in VMEM (zero per-iteration x traffic); False
     streams x chunk-wise alongside r/p — required once x alone outgrows
-    the VMEM budget (f32 n >= 2^25, bf16 n >= 2^26)."""
+    the VMEM budget (f32 n >= 2^25, bf16 n >= 2^26).  ``with_init``: the
+    init dot group (rv0, ar0, nr0, m0, mA0, UU) arrives as SMEM scalars
+    after the aux block — the init pass is SKIPPED entirely (no g read,
+    no r write, no reduction) and the loop's first iteration reads its r
+    chunks straight from the g buffer (conditional DMA source)."""
     nch = n_rows // cr
     assert nch >= 2, "need >= 2 chunks for the double-buffered pipeline"
 
@@ -138,9 +143,10 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 return x_vmem[pl.ds(i * cr, cr), :].astype(jnp.float32)
             return x_vmem[slot].astype(jnp.float32)
 
-        # ============ INIT PASS: r <- g, accumulate the init dot group
-        # (rv0, ar0, nr0, m0, mA0, UU) — one read of g (streamed) + x
-        # (from VMEM); r written once. ============
+        # ============ INIT: threaded scalars (with_init) or the init
+        # pass — r <- g, accumulate the init dot group (rv0, ar0, nr0,
+        # m0, mA0, UU): one read of g (streamed) + x (from VMEM); r
+        # written once. ============
         def g_read(i, slot):
             return pltpu.make_async_copy(
                 g_hbm.at[pl.ds(i * cr, cr), :], gin.at[slot],
@@ -151,9 +157,10 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                 rob.at[slot], r_out.at[pl.ds(i * cr, cr), :],
                 sem_out.at[slot, 0])
 
-        g_read(0, 0).start()
-        if not pin_x:
-            x_read(0, 0).start()
+        if not with_init:
+            g_read(0, 0).start()
+            if not pin_x:
+                x_read(0, 0).start()
 
         def init_chunk(i, carry):
             (rv0, ar0, nr0, m0, mA0, UU) = carry
@@ -195,14 +202,28 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
         z_k = (zero,) * k_lr
         z_kk = tuple((zero,) * k_lr for _ in range(k_lr))
-        rv0, ar0, nr0, m0, mA0, UU = jax.lax.fori_loop(
-            0, nch, init_chunk, (zero, zero, zero, z_k, z_k, z_kk))
-        # drain the last two init writes before the loop reads r
-        r_write_init(nch - 2, (nch - 2) % 2).wait()
-        r_write_init(nch - 1, (nch - 1) % 2).wait()
-        # symmetrize UU (only the upper triangle was accumulated)
-        UU = [[UU[min(a, b)][max(a, b)] for b in range(k_lr)]
-              for a in range(k_lr)]
+        if with_init:
+            # The dot group rode the caller's fused pass (flat_init_dots /
+            # sphere_rayleigh_step): unpack from SMEM; no init pass runs
+            # and r's storage stays untouched — the first loop iteration
+            # streams its r chunks from g_hbm instead.
+            base = 1 + n_aux
+            rv0, ar0, nr0 = (scal_ref[base], scal_ref[base + 1],
+                             scal_ref[base + 2])
+            m0 = tuple(scal_ref[base + 3 + j] for j in range(k_lr))
+            mA0 = tuple(scal_ref[base + 3 + k_lr + j] for j in range(k_lr))
+            ub = base + 3 + 2 * k_lr
+            UU = [[scal_ref[ub + a * k_lr + b] for b in range(k_lr)]
+                  for a in range(k_lr)]
+        else:
+            rv0, ar0, nr0, m0, mA0, UU = jax.lax.fori_loop(
+                0, nch, init_chunk, (zero, zero, zero, z_k, z_k, z_kk))
+            # drain the last two init writes before the loop reads r
+            r_write_init(nch - 2, (nch - 2) % 2).wait()
+            r_write_init(nch - 1, (nch - 1) % 2).wait()
+            # symmetrize UU (only the upper triangle was accumulated)
+            UU = [[UU[min(a, b)][max(a, b)] for b in range(k_lr)]
+                  for a in range(k_lr)]
 
         r0n = jnp.sqrt(rv0)
         target = r0n * jnp.minimum(jnp.asarray(kappa_fgr, f32),
@@ -212,20 +233,44 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
         # the s update into the next half: the deferring half streams
         # r/p only — 4n words — and the applying half folds the pending
         # coefficient into its own 6n-word s update, averaging 5n) ======
-        def rps_read(i, slot, with_s):
+        def rps_read(i, slot, with_s, from_g=None):
             i0 = pl.ds(i * cr, cr)
-            pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
-                                  sem_in.at[slot, 0]).start()
+            if with_init:
+                # first loop iteration: r IS g (the init pass that would
+                # have copied g into r's storage was skipped)
+                @pl.when(from_g)
+                def _():
+                    pltpu.make_async_copy(g_hbm.at[i0, :], rin.at[slot],
+                                          sem_in.at[slot, 0]).start()
+
+                @pl.when(~from_g)
+                def _():
+                    pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
+                                          sem_in.at[slot, 0]).start()
+            else:
+                pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
+                                      sem_in.at[slot, 0]).start()
             pltpu.make_async_copy(p_out.at[i0, :], pin.at[slot],
                                   sem_in.at[slot, 1]).start()
             if with_s:
                 pltpu.make_async_copy(s_out.at[i0, :], sin.at[slot],
                                       sem_in.at[slot, 2]).start()
 
-        def rps_read_wait(i, slot, with_s):
+        def rps_read_wait(i, slot, with_s, from_g=None):
             i0 = pl.ds(i * cr, cr)
-            pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
-                                  sem_in.at[slot, 0]).wait()
+            if with_init:
+                @pl.when(from_g)
+                def _():
+                    pltpu.make_async_copy(g_hbm.at[i0, :], rin.at[slot],
+                                          sem_in.at[slot, 0]).wait()
+
+                @pl.when(~from_g)
+                def _():
+                    pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
+                                          sem_in.at[slot, 0]).wait()
+            else:
+                pltpu.make_async_copy(r_out.at[i0, :], rin.at[slot],
+                                      sem_in.at[slot, 0]).wait()
             pltpu.make_async_copy(p_out.at[i0, :], pin.at[slot],
                                   sem_in.at[slot, 1]).wait()
             if with_s:
@@ -343,7 +388,7 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
             # ---- THE streamed pass: r/p (+s when applying) in and out,
             # x from VMEM, diagonal regenerated per chunk ----
-            rps_read(0, 0, apply_s)
+            rps_read(0, 0, apply_s, from_g=first)
             if not pin_x:
                 x_read(0, 0).start()
 
@@ -353,11 +398,11 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
 
                 @pl.when(i + 1 < nch)
                 def _():
-                    rps_read(i + 1, (i + 1) % 2, apply_s)
+                    rps_read(i + 1, (i + 1) % 2, apply_s, from_g=first)
                     if not pin_x:
                         x_read(i + 1, (i + 1) % 2).start()
 
-                rps_read_wait(i, slot, apply_s)
+                rps_read_wait(i, slot, apply_s, from_g=first)
                 if not pin_x:
                     x_read(i, slot).wait()
                 rc = rin[slot].astype(jnp.float32)
@@ -469,6 +514,7 @@ def stpcg_flat_streamed(
     chunk_rows: int = DEF_CHUNK_ROWS,
     body_kind: str = "pair",
     pin_x: Optional[bool] = None,
+    init=None,
     interpret: bool = False,
 ) -> FlatCGResult:
     """Solve the flat trust-region subproblem with the whole-loop streamed
@@ -484,6 +530,16 @@ def stpcg_flat_streamed(
     (6n).  Unlike the XLA engine (where the single body wins the VMEM-
     resident regime), the kernel always streams, so pair is the measured
     winner at every size the kernel accepts.
+
+    ``init``: an optional ``linalg.flat_cg.FlatCGInit`` — the pre-loop dot
+    group computed inside an earlier fused pass (e.g. the TNT trial-step
+    evaluator's ``aux.init``).  The kernel then skips its init pass
+    ENTIRELY (no g read, no r0 write, no pre-loop reduction — the loop's
+    first iteration streams r straight from the g buffer), mirroring the
+    XLA engine's ``stpcg_flat(init=)``.  NB the threaded group is
+    accumulated whole-array by the caller while the kernel's own init
+    accumulates chunk-wise: the two differ at the f32 ulp level, so this
+    is CONTRACT parity, not bitwise (same as the kernel-vs-XLA story).
     """
     n = g.shape[0]
     sdt = g.dtype
@@ -513,10 +569,17 @@ def stpcg_flat_streamed(
     kernel = _mk_kernel(n_rows, chunk_rows, k_lr, a0_chunk, weights,
                         max_iterations, float(kappa_fgr), float(theta),
                         float(epsilon), n_aux, body_kind == "pair",
-                        sdt, pin_x)
+                        sdt, pin_x, with_init=init is not None)
 
-    scal = jnp.stack([jnp.asarray(Delta, jnp.float32)]
-                     + [jnp.asarray(a, jnp.float32) for a in aux_scalars])
+    scal_list = ([jnp.asarray(Delta, jnp.float32)]
+                 + [jnp.asarray(a, jnp.float32) for a in aux_scalars])
+    if init is not None:
+        iv = [init.rv, init.ar, init.nr]
+        iv += [init.m[j] for j in range(k_lr)]
+        iv += [init.mA[j] for j in range(k_lr)]
+        iv += [init.UU[a, b] for a in range(k_lr) for b in range(k_lr)]
+        scal_list += [jnp.asarray(v, jnp.float32) for v in iv]
+    scal = jnp.stack(scal_list)
     shp = jax.ShapeDtypeStruct((n_rows, LANES), sdt)
     cr = chunk_rows
     x_vmem_shape = ((n_rows, LANES) if pin_x else (2, cr, LANES))

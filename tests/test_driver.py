@@ -380,3 +380,64 @@ class TestReferenceHostParity:
         out = capsys.readouterr().out
         assert "ADMM terminated: iteration limit reached" in out
         assert "primal residual:" in out
+
+
+class TestTimeInterpolation:
+    """``time_interpolation=True``: reference-shaped per-iteration
+    timestamps (``Util/Stopwatch.h:15-29`` via ``TNT.h:454-459``) by linear
+    interpolation across each chunk — strictly increasing within chunks,
+    exact at chunk ends, zero extra dispatches; iterates unchanged."""
+
+    def test_fill_times_exact(self):
+        """Unit pin on the fill itself: chunk ends exact, even split
+        inside chunks, plateau shape when off."""
+        counts, ends = [3, 2, 4], [0.3, 0.5, 0.9]
+        t, pos = driver._fill_times(9, counts, ends, True)
+        assert pos == 9
+        np.testing.assert_allclose(
+            t, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9], rtol=1e-6)
+        flat, _ = driver._fill_times(9, counts, ends, False)
+        np.testing.assert_allclose(
+            flat, [0.3, 0.3, 0.3, 0.5, 0.5, 0.9, 0.9, 0.9, 0.9], rtol=1e-6)
+        # zero-iteration chunks (converged mid-chunk) must not divide by 0
+        t0, _ = driver._fill_times(3, [2, 0], [0.2, 0.3], True)
+        np.testing.assert_allclose(t0[:2], [0.1, 0.2], rtol=1e-6)
+
+    def test_interpolated_times_monotone_iterates_unchanged(self):
+        problem = RiemannianProblem(f=rosenbrock)
+        params = gradient_descent.GradientDescentParams(
+            max_iterations=40, gradient_tolerance=0.0,
+            relative_decrease_tolerance=0.0, stepsize_tolerance=0.0)
+        flat = driver.drive(gradient_descent, problem, X0, params,
+                            chunk_iterations=17)
+        interp = driver.drive(gradient_descent, problem, X0, params,
+                              chunk_iterations=17, time_interpolation=True)
+        np.testing.assert_array_equal(np.asarray(interp.x),
+                                      np.asarray(flat.x))
+        n = int(interp.num_iterations)
+        t = np.asarray(interp.times)[:n]
+        assert np.all(np.isfinite(t))
+        # strictly increasing (wall clocks advance between chunks and the
+        # interpolation splits each chunk evenly); the default stays the
+        # documented plateau shape (NB: absolute values are per-run wall
+        # clocks — compile time differs between the two runs, so only the
+        # SHAPES are comparable, not the values)
+        assert np.all(np.diff(t) > 0), t
+        tf = np.asarray(flat.times)[:n]
+        assert np.all(np.diff(tf) >= 0)
+        assert np.any(np.diff(tf) == 0)   # plateaus exist within chunks
+
+    def test_interpolation_admm(self):
+        problem = _small_lasso_admm()
+        c = jnp.zeros(2)
+        params = admm.ADMMParams(max_iterations=30, eps_rel=0.0,
+                                 eps_abs_pri=0.0, eps_abs_dual=0.0)
+        flat = driver.drive_admm(problem, c, X0, X0, params,
+                                 chunk_iterations=11)
+        interp = driver.drive_admm(problem, c, X0, X0, params,
+                                   chunk_iterations=11,
+                                   time_interpolation=True)
+        np.testing.assert_array_equal(np.asarray(interp.x),
+                                      np.asarray(flat.x))
+        n = int(interp.num_iterations)
+        assert np.all(np.diff(np.asarray(interp.times)[:n]) > 0)

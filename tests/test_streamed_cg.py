@@ -296,3 +296,34 @@ def test_streamed_x_mode_matches_pinned_f32():
     np.testing.assert_array_equal(np.asarray(r_pin.s), np.asarray(r_str.s))
     np.testing.assert_array_equal(float(r_pin.update_step_M_norm),
                                   float(r_str.update_step_M_norm))
+
+
+@pytest.mark.parametrize("body", ["single", "pair"])
+@pytest.mark.parametrize("Delta", [1e6, 0.5, 0.02])
+def test_init_threading_parity(Delta, body):
+    """``init=`` (the FlatCGInit dot group riding the caller's fused pass,
+    as TNT's step_eval aux supplies it): the kernel must skip its init
+    pass and still satisfy the same contract — identical iteration count
+    and matching step across interior / truncation / TR-boundary regimes.
+    The threaded group is accumulated whole-array while the self-init is
+    chunk-wise, so parity is at f32-contract tolerances, not bitwise."""
+    from optimization_tpu.linalg.flat_cg import flat_init_dots
+
+    a_chunk, A_elem, x, rq, g = _setup(seed=11)
+    A0, U, B, _ = sphere_rayleigh_flat(x, A_elem, rq=rq)
+    initd = flat_init_dots(g, A0, U, B)
+
+    ref = _run_streamed(a_chunk, x, rq, g, Delta, body=body,
+                        max_iterations=300, kappa_fgr=0.05, theta=0.5)
+    res = _run_streamed(a_chunk, x, rq, g, Delta, body=body,
+                        max_iterations=300, kappa_fgr=0.05, theta=0.5,
+                        init=initd)
+    assert abs(int(res.num_iterations) - int(ref.num_iterations)) <= 1, Delta
+    np.testing.assert_allclose(float(res.update_step_M_norm),
+                               float(ref.update_step_M_norm), rtol=1e-4)
+    scale = max(float(jnp.linalg.norm(ref.s)), 1e-9)
+    np.testing.assert_allclose(np.asarray(res.s), np.asarray(ref.s),
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(float(res.predicted_decrease),
+                               float(ref.predicted_decrease),
+                               rtol=2e-3, atol=1e-8)
