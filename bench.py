@@ -167,11 +167,17 @@ def run_tier(n, dtype, grad_tol, max_tpcg=50, stream_engine=False):
         a0c, weights, B_fn = sphere_rayleigh_streamed(a_chunk)
 
         def flat_solve(g, x, dd, aux, Delta, params):
+            # aux.init is the FlatCGInit dot group computed inside the
+            # trial-evaluation pass (sphere_rayleigh_step) — threading it
+            # makes the kernel skip its init pass entirely (no g read, no
+            # r0 write, no pre-loop reduction; first CG iteration streams
+            # r from the g buffer).
             rq = aux.rq
             return stpcg_flat_streamed(
                 g, x, B_fn(rq), Delta, aux_scalars=(rq,), a0_chunk=a0c,
                 weights=weights, max_iterations=params.max_TPCG_iterations,
-                kappa_fgr=params.kappa_fgr, theta=params.theta)
+                kappa_fgr=params.kappa_fgr, theta=params.theta,
+                init=aux.init)
 
     problem = RiemannianProblem(f=f, manifold=M, grad=grad, flat_qm=flat_qm,
                                 flat_solve=flat_solve,
