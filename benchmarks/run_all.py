@@ -27,6 +27,7 @@ CONFIGS = [
     "config9_matrix_completion",
     "config10_lobpcg_fleet",
     "config11_hv_roofline",
+    "config12_escalation",
 ]
 
 QUICK = ["config1_gd_rosenbrock", "config2_tnt_rayleigh",

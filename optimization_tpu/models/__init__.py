@@ -1,1 +1,1 @@
-from . import matrix_completion, pose_sync, rotation_sync
+from . import matrix_completion, pose_sync, range_sync, rotation_sync

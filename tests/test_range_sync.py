@@ -1,0 +1,89 @@
+"""Range-aided pose synchronization (models/range_sync.py).
+
+The framework-generality exercise for the reference's primary usage
+pattern: the user writes ONLY the objective — the variable is a PyTree
+triple on the product manifold SO(d)^n x R^{nd} x (S^{d-1})^m, the
+Riemannian gradient is jax.grad + projection and Hv is jax.jvp of the
+gradient field (``Riemannian/Concepts.h:40-104``, ``TNT.h:209-222``),
+and the solver is stock TNT.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optimization_tpu.models import range_sync as rg
+from optimization_tpu.models.pose_sync import alignment_errors
+from optimization_tpu.core.types import TNTStatus
+
+
+def _solve(key, n, **kw):
+    dtype = kw.pop("dtype", jnp.float64)
+    R_true, t_true, data = rg.random_instance(key, n, 3, **kw)
+    out = rg.solve_range_aided(data, n, dtype=dtype)
+    rot_err, t_err = alignment_errors(
+        out.R, out.t, R_true.astype(dtype),
+        (t_true - t_true[0][None]).astype(dtype))
+    return out, float(rot_err), float(t_err), data
+
+
+def test_noiseless_exact_recovery():
+    """Exact measurements: the joint TNT solve recovers poses AND unit
+    bearings to machine precision (after gauge alignment), terminating on
+    the gradient tolerance — all derivatives automatic."""
+    out, rot_err, t_err, _ = _solve(jax.random.PRNGKey(0), 12,
+                                    extra_edges=10, n_ranges=8, noise=0.0)
+    assert int(out.result.status) == TNTStatus.GRADIENT
+    assert float(out.result.f) < 1e-18
+    assert rot_err < 1e-9 and t_err < 1e-9
+    # bearing rows stay exactly unit (the sphere factor's retraction)
+    assert float(jnp.max(jnp.abs(
+        jnp.linalg.norm(out.u, axis=-1) - 1.0))) < 1e-12
+
+
+def test_ranges_reduce_translation_error():
+    """A noisy spanning chain (no redundant pose edges) + 40 range edges:
+    the range terms must substantially tighten the translation estimate
+    vs the identical solve with range weights zeroed (measured 2.9x on
+    this seed)."""
+    key = jax.random.PRNGKey(3)
+    n = 20
+    R_true, t_true, data = rg.random_instance(
+        key, n, 3, extra_edges=0, n_ranges=40, noise=0.05,
+        range_noise=0.001)
+    out = rg.solve_range_aided(data, n, dtype=jnp.float64)
+    _, t_err = alignment_errors(out.R, out.t, R_true,
+                                t_true - t_true[0][None])
+    data0 = data._replace(rho=jnp.zeros_like(data.dists))
+    out0 = rg.solve_range_aided(data0, n, dtype=jnp.float64)
+    _, t_err0 = alignment_errors(out0.R, out0.t, R_true,
+                                 t_true - t_true[0][None])
+    assert float(t_err) < float(t_err0) / 1.5, (t_err, t_err0)
+
+
+def test_bearings_match_geometry():
+    """At a noiseless optimum the unit bearings equal the normalized
+    recovered translation differences (the CORA relaxation is tight)."""
+    out, _, _, data = _solve(jax.random.PRNGKey(5), 10,
+                             extra_edges=6, n_ranges=12, noise=0.0)
+    diff = out.t[data.rdst] - out.t[data.rsrc]
+    diff = diff / jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(diff),
+                               atol=1e-8)
+
+
+def test_anchor_gauge():
+    out, _, _, _ = _solve(jax.random.PRNGKey(7), 8, extra_edges=4,
+                          n_ranges=5, noise=0.01, range_noise=0.001)
+    np.testing.assert_allclose(np.asarray(out.t[0]), np.zeros(3), atol=0)
+
+
+def test_f32_tier():
+    """The same pipeline in f32 (the on-chip dtype) converges to the f32
+    noise floor."""
+    out, rot_err, t_err, _ = _solve(jax.random.PRNGKey(1), 10,
+                                    extra_edges=8, n_ranges=8,
+                                    noise=0.0, dtype=jnp.float32)
+    assert float(out.result.f) < 1e-8
+    assert rot_err < 1e-3 and t_err < 1e-3
