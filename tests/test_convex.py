@@ -18,6 +18,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from optimization_tpu import CompositeProblem
 from optimization_tpu.core.types import ADMMStatus, ProximalGradientStatus
@@ -38,6 +39,7 @@ fista_problem = CompositeProblem(
 )
 
 
+@pytest.mark.nan_traces
 def test_fista_group_lasso():
     params = pg.ProximalGradientParams(
         max_iterations=100000, composite_gradient_tolerance=1e-4)
@@ -48,6 +50,7 @@ def test_fista_group_lasso():
         float(res.relative_composite_gradient_norms[k]) < 1e-3
 
 
+@pytest.mark.nan_traces
 def test_ista_matches_fista():
     # Milder conditioning than the headline example so plain ISTA can reach
     # the tolerance in a bounded iteration budget.
@@ -123,6 +126,7 @@ def _fista_reference_solution(A, b, mu):
     return pg.solve(problem, jnp.zeros(A.shape[1]), params).x
 
 
+@pytest.mark.nan_traces
 def test_admm_lasso():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)
@@ -141,6 +145,7 @@ def test_admm_lasso():
     assert obj(res.y) <= obj(x_ref) * 1.01 + 1e-6
 
 
+@pytest.mark.nan_traces
 def test_admm_accelerated():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)
@@ -159,6 +164,7 @@ def test_admm_accelerated():
     assert set(np.asarray(res.iteration_types[:k])) <= {0, 1, 2}
 
 
+@pytest.mark.nan_traces
 def test_admm_residual_balancing():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)

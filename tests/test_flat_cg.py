@@ -635,6 +635,7 @@ class TestPreconditionedFlat:
         with pytest.raises(ValueError):
             stpcg_flat(g, A0, U, B, 1.0, prec=prec, init=init)
 
+    @pytest.mark.nan_traces
     def test_tnt_flat_prec_matches_generic_precon(self):
         """TNT routes problem.flat_prec through the flat engine and matches
         the generic preconditioned path's trajectory."""
