@@ -11,8 +11,13 @@ acceptance (``TNTParams.floor_acceptance``).
 Benchmark: the n=2^24 Rayleigh headline config solved to the same
 |grad| <= GRAD_TOL by (a) pure f32 TNT and (b) the escalated solver;
 value = pure-f32 wall / escalated wall (net speedup; >= 1.0 means the
-escalation wins at identical termination semantics).  Both walls are
-single warm solves net of the measured tunnel dispatch charge (bench.py
+escalation wins at identical termination semantics).  Both arms run the
+SAME acceptance rule (floor_acceptance — the escalated arm's finishing
+stage enables it internally, so the pure arm gets it too; without it the
+pure-f32 arm df-resolution-stalls near the optimum and the A/B would
+compare a converged run against a failed one), and the metric is zeroed
+unless BOTH arms genuinely reach GRAD_TOL.  Both walls are single warm
+solves net of the measured tunnel dispatch charge (bench.py
 methodology).  The unit string reports the crossover iteration and both
 achieved gradient norms.
 """
@@ -63,22 +68,33 @@ def build(dtype):
 
 def main():
     bench.check_backend_alive()
+    import dataclasses
+
     from optimization_tpu.solvers import tnt
 
     problem, M = build(jnp.float32)
     params = tnt.TNTParams(
-        max_iterations=200, max_TPCG_iterations=100,
+        max_iterations=400, max_TPCG_iterations=100,
         gradient_tolerance=GRAD_TOL, relative_decrease_tolerance=0.0,
         stepsize_tolerance=0.0, preconditioned_gradient_tolerance=0.0)
+
+    # FAIR A/B (VERDICT round 4 "what's weak" 1): the escalated arm's
+    # finishing stage internally enables floor_acceptance (solve_escalated
+    # — near the optimum sub-eps(f32) decreases are otherwise rejected and
+    # the run df-resolution-stalls), so the pure-f32 arm gets the SAME
+    # acceptance rule and an outer budget large enough to actually
+    # terminate; the comparison is then escalation-only, not
+    # acceptance-rule-confounded.
+    params_f32 = dataclasses.replace(params, floor_acceptance=True)
 
     x0 = M.rand(jax.random.PRNGKey(2), N).astype(jnp.float32)
 
     # pure f32 reference
-    r = tnt.solve(problem, x0, params)           # compile + warm
+    r = tnt.solve(problem, x0, params_f32)       # compile + warm
     float(r.f)
     x1 = M.rand(jax.random.PRNGKey(3), N).astype(jnp.float32)
     t0 = time.perf_counter()
-    r32 = tnt.solve(problem, x1, params)
+    r32 = tnt.solve(problem, x1, params_f32)
     g32, f32v = float(r32.gradfx_norm), float(r32.f)
     t_f32 = time.perf_counter() - t0
 
@@ -102,18 +118,26 @@ def main():
     g32_true = float(jnp.linalg.norm(problem.rgrad(r32.x, None)))
     ge_true = float(jnp.linalg.norm(problem.rgrad(e.x, None)))
 
-    ok = ge_true <= GRAD_TOL and int(e.status) == 1   # GRADIENT
+    # ok requires BOTH arms to genuinely reach GRAD_TOL (status GRADIENT
+    # and the independently re-verified gradient under tolerance) — a
+    # speedup over a failed baseline is not a speedup.
+    ok_f32 = g32_true <= GRAD_TOL and int(r32.status) == 1   # GRADIENT
+    ok_esc = ge_true <= GRAD_TOL and int(e.status) == 1      # GRADIENT
+    ok = ok_f32 and ok_esc
     speedup = t_f32_net / t_esc_net
     emit("bf16_f32_escalation_speedup", round(speedup, 3),
          f"pure-f32 {t_f32_net:.2f}s (|g|={g32:.1e}/true {g32_true:.1e}, "
-         f"f={f32v:.5f}, {int(r32.num_iterations)} outer) vs escalated "
+         f"f={f32v:.5f}, {int(r32.num_iterations)} outer, "
+         f"status={int(r32.status)}) vs escalated "
          f"{t_esc_net:.2f}s (|g|={ge:.1e}/true {ge_true:.1e}, f={fe:.5f}, "
          f"switch@{int(e.switch_iteration)} bf16 + "
          f"{int(e.stage_high.num_iterations)} f32 outer, "
-         f"status={int(e.status)}); both to |grad| <= {GRAD_TOL}, "
-         f"independently re-verified with the explicit gradient field; "
+         f"status={int(e.status)}); both arms run floor_acceptance and "
+         f"both must reach |grad| <= {GRAD_TOL} (re-verified with the "
+         f"explicit gradient field) or the metric is zeroed; "
          f"net of {charge * 1e3:.0f} ms/dispatch charge"
-         + ("" if ok else "; WARNING escalated run missed the tolerance"),
+         + ("" if ok_f32 else "; WARNING pure-f32 arm missed the tolerance")
+         + ("" if ok_esc else "; WARNING escalated arm missed the tolerance"),
          speedup if ok else 0.0)
 
 
