@@ -38,7 +38,6 @@ def f_sphere(x, data):
     return jnp.sum(d * d)
 
 
-@pytest.mark.nan_traces
 def test_scenario_sharded_tnt_matches_single_device():
     """DP: 8 sphere instances sharded over an 8-device batch mesh."""
     mesh = batch_mesh(8)
@@ -59,7 +58,6 @@ def test_scenario_sharded_tnt_matches_single_device():
     assert (np.asarray(res.status) == TNTStatus.GRADIENT).all()
 
 
-@pytest.mark.nan_traces
 def test_block_partitioned_tnt_matches_single_device():
     """TP-analog: Rayleigh quotient on S^{n-1} with x sharded over 'model'.
 
@@ -92,7 +90,6 @@ def test_block_partitioned_tnt_matches_single_device():
                                np.abs(np.asarray(ref.x)), atol=1e-6)
 
 
-@pytest.mark.nan_traces
 def test_consensus_admm_lasso():
     """Consensus ADMM: split a LASSO across 8 scenario shards; the solution
     matches the full-data FISTA objective."""
@@ -247,6 +244,37 @@ def test_sharded_gram_collectives():
                                rtol=1e-10)
 
 
+def test_ring_gram_matches_dense():
+    """ring_gram (column-blocked basis, ppermute ring) inside shard_map
+    equals the dense Gram — the tested completeness of the SURVEY section
+    2.9 ring design row.  The production Gram path stays
+    :func:`sharded_gram` (row-sharded, one psum): the ring moves ~m*nx
+    words/device per Gram vs the psum's ~nx^2, and column-blocking buys no
+    memory headroom over row-sharding — adjudication in the ring_gram
+    docstring."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    from optimization_tpu.parallel import make_mesh
+    from optimization_tpu.parallel.collectives import ring_gram
+
+    m, nx = 256, 16          # 8 devices x 2-column blocks
+    key1, key2 = jax.random.split(jax.random.PRNGKey(3))
+    S = jax.random.normal(key1, (m, nx))
+    AS = jax.random.normal(key2, (m, nx))
+
+    mesh = make_mesh((8,), ("model",))
+    gram = jax.shard_map(
+        partial(ring_gram, axis="model"), mesh=mesh,
+        in_specs=(P(None, "model"), P(None, "model")),
+        out_specs=P(None, "model"))   # column blocks reassemble the Gram
+    np.testing.assert_allclose(np.asarray(jax.jit(gram)(S, AS)),
+                               np.asarray(S.T @ AS), rtol=1e-10)
+
+
 def test_consensus_scenario_count_guard():
     """consensus_problem: an explicit n_scenarios overrides leaf inference,
     and a stacked block whose leading axis disagrees with the scenario count
@@ -276,7 +304,6 @@ def test_consensus_scenario_count_guard():
         inferred.minLx(z, lam, 1.0, None)
 
 
-@pytest.mark.nan_traces
 def test_dp_sharded_lobpcg_fleet_matches_single_device():
     """DP x fleet: the vmapped LOBPCG fleet sharded over the 8-device batch
     mesh must reproduce the single-device fleet exactly (no cross-instance
@@ -334,7 +361,6 @@ def test_sharded_collectives_deterministic():
     assert len(outs) == 1, f"nondeterministic sharded pnorm: {outs}"
 
 
-@pytest.mark.nan_traces
 def test_sharded_tnt_deterministic():
     """Determinism leg at the solver level: the block-partitioned TNT solve
     (every metric reduction a GSPMD-inserted psum) repeated on the same
