@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .debug import pad_value
+
 __all__ = ["drive", "drive_admm", "drive_lobpcg", "drive_lobpcg_fleet"]
 
 
@@ -110,11 +112,13 @@ _PG_STATUS_MSG = {  # ProximalGradient.h:412-445
     2: "iteration limit reached",
     3: "linesearch failed to find an acceptable stepsize",
     4: "computation-time limit reached",
+    5: "user-supplied stopping criterion",
 }
 _ADMM_STATUS_MSG = {  # ADMM.h:597-620
     1: "primal and dual residual tolerances reached",
     2: "iteration limit reached",
     3: "computation-time limit reached",
+    4: "user-supplied stopping criterion",
 }
 
 
@@ -197,7 +201,7 @@ def _adapter_for(solver, problem, params, data, user_function):
 
         def run(x, carry, n):
             return solver.solve(problem, x, _chunk_params(params, n), data,
-                                warm_start=carry)
+                                warm_start=carry, user_function=user_function)
 
         def fmt(r, i, k, p):
             return (f"Iter: {k:4d}  F: {r.objective_values[i]:+.{p}e}  "
@@ -206,7 +210,8 @@ def _adapter_for(solver, problem, params, data, user_function):
         return _Adapter(run, lambda r: (r.x, r.warm_start),
                         (),
                         ("objective_values", "composite_gradient_norms",
-                         "relative_composite_gradient_norms"),
+                         "relative_composite_gradient_norms",
+                         "linesearch_iterations"),
                         S.ITERATION_LIMIT.value, S.ELAPSED_TIME.value, fmt,
                         "Proximal gradient", _PG_STATUS_MSG,
                         lambda r: [("F", float(r.f)),
@@ -228,7 +233,7 @@ def _stitch(results, counts, field, kind, total, final_extra):
     if np.issubdtype(flat.dtype, np.integer):
         out = np.zeros((n,), flat.dtype)
     else:
-        out = np.full((n,), np.nan, flat.dtype)
+        out = np.full((n,), pad_value(), flat.dtype)
     out[:min(len(flat), n)] = flat[:n]
     return jnp.asarray(out)
 
@@ -245,7 +250,7 @@ def _fill_times(n_slots, counts, chunk_times, interpolate):
     paying the per-iteration dispatch charge of ``chunk_iterations=1``
     (iterations inside one compiled chunk genuinely share device time, so
     the interpolated values are an even-split model, labeled as such)."""
-    times = np.full((n_slots,), np.nan, np.float32)
+    times = np.full((n_slots,), pad_value(), np.float32)
     pos, prev = 0, 0.0
     for i, t in zip(counts, chunk_times):
         if interpolate and i > 0:
@@ -387,12 +392,17 @@ def drive(solver, problem, x0, params, data=None, *,
 
 
 def drive_admm(problem, c, x0, y0, params, data=None, *,
+               user_function=None,
                chunk_iterations: Optional[int] = None,
                observer: Optional[Callable[..., None]] = None,
                checkpoint_path: Optional[str] = None,
                time_interpolation: bool = False):
     """Host-chunked ADMM (see :func:`drive`).  Resumes via the solver's
-    ``warm_start`` seam, so acceleration/penalty state carries exactly."""
+    ``warm_start`` seam, so acceleration/penalty state carries exactly.
+    ``user_function`` is the solver's terminating jittable predicate
+    (``admm.solve``); at ``chunk_iterations=1`` the chunk result seen by
+    ``observer`` additionally carries the reference callback's residual
+    VECTORS ``r``/``s`` per iteration (``ADMM.h:71-76``)."""
     from ..core.types import ADMMStatus as S
     from ..solvers import admm
 
@@ -412,13 +422,15 @@ def drive_admm(problem, c, x0, y0, params, data=None, *,
             final_status = S.ITERATION_LIMIT.value
             if not results:
                 p = dataclasses.replace(params, max_iterations=0)
-                r = admm.solve(problem, c, x, y, p, data, warm_start=ws)
+                r = admm.solve(problem, c, x, y, p, data, warm_start=ws,
+                               user_function=user_function)
                 results.append(r)
                 counts.append(0)
                 chunk_times.append(time.monotonic() - start)
             break
         p = dataclasses.replace(params, max_iterations=n)
-        r = admm.solve(problem, c, x, y, p, data, warm_start=ws)
+        r = admm.solve(problem, c, x, y, p, data, warm_start=ws,
+                       user_function=user_function)
         jax.block_until_ready(r.x)
         t = time.monotonic() - start
         i = int(r.num_iterations)
@@ -542,7 +554,7 @@ def _drive_lobpcg_loop(run_chunk, *, iters_of, converged, verbose_line,
 
     last = results[-1]
     shape = (max_iterations,) if fleet is None else (fleet, max_iterations)
-    res_trace = np.full(shape, np.nan, np.float32)
+    res_trace = np.full(shape, pad_value(), np.float32)
     nc_trace = np.full(shape, -1, np.int32)
     times, _ = _fill_times(max_iterations, counts, chunk_times,
                            time_interpolation)

@@ -140,6 +140,13 @@ class ProximalGradientStatus(enum.IntEnum):
     ITERATION_LIMIT = 2
     LINESEARCH = 3
     ELAPSED_TIME = 4
+    # Extension beyond the reference enum: the reference's
+    # ``ProximalGradientUserFunction`` (``ProximalGradient.h:45-49``) is a
+    # void per-iteration observer; ours is a *terminating* jittable
+    # predicate like the other engines', and the reference's observer
+    # semantics (incl. ``linesearch_iters``/``dx``) are recovered by the
+    # host driver's observer= at chunk_iterations=1.
+    USER_FUNCTION = 5
 
 
 class ADMMStatus(enum.IntEnum):
@@ -149,6 +156,13 @@ class ADMMStatus(enum.IntEnum):
     RESIDUAL_TOLERANCE = 1
     ITERATION_LIMIT = 2
     ELAPSED_TIME = 3
+    # Extension beyond the reference enum: the reference's
+    # ``ADMMUserFunction`` (``ADMM.h:71-76``) is a void per-iteration
+    # observer; ours is a *terminating* jittable predicate like the other
+    # engines', and the reference's observer semantics (incl. the ``r``/``s``
+    # residual VECTORS) are recovered by the host driver's observer= at
+    # chunk_iterations=1.
+    USER_FUNCTION = 4
 
 
 class ADMMIterationType(enum.IntEnum):
@@ -160,8 +174,11 @@ class ADMMIterationType(enum.IntEnum):
 
 
 def trace_fill(n: int, dtype: Any = jnp.float32) -> jnp.ndarray:
-    """A NaN-filled trace buffer of length ``n`` (written in-place by solvers)."""
-    return jnp.full((n,), jnp.nan, dtype=dtype)
+    """A trace buffer of length ``n`` (written in-place by solvers): NaN-filled
+    by the result contract (entries beyond ``num_iterations`` are unread), or
+    zero-filled under the OPTTPU_DEBUG_NANS sanitizer tier (core/debug.py)."""
+    from .debug import pad_value
+    return jnp.full((n,), pad_value(), dtype=dtype)
 
 
 class SolveInfo(NamedTuple):

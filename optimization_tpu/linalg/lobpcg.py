@@ -38,6 +38,7 @@ from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..core.debug import pad_value
 
 __all__ = ["LOBPCGResult", "lobpcg", "lobpcg_fleet", "rayleigh_ritz"]
 
@@ -426,7 +427,7 @@ def lobpcg(
             r=jnp.linalg.norm(R[:, :nev], axis=0),
             done=jnp.asarray(False),
             ok=ok0,
-            residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
+            residual_trace=jnp.full((n_trace,), pad_value(), dtype),
             nc_trace=jnp.full((n_trace,), -1, jnp.int32),
             Useed=(jnp.eye(3 * nx, dtype=dtype) if warm_rr else ()),
         )
@@ -438,7 +439,7 @@ def lobpcg(
         # re-breaking iteration every chunk, diverging from monolithic.
         st0 = _State(
             k=k0, done=(carry["nc"] >= nev) | ~carry["ok"],
-            residual_trace=jnp.full((n_trace,), jnp.nan, dtype),
+            residual_trace=jnp.full((n_trace,), pad_value(), dtype),
             nc_trace=jnp.full((n_trace,), -1, jnp.int32),
             **carry)
 

@@ -35,6 +35,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.debug import pad_value
 from ..core.tree import tree_axpy, tree_dot, tree_sub, tree_where
 from ..core.types import ADMMIterationType, ADMMStatus, OptimizerParams
 
@@ -115,6 +116,12 @@ class ADMMResult(NamedTuple):
     m_k: jnp.ndarray
     penalty_parameters: jnp.ndarray
     iteration_types: jnp.ndarray   # ADMMIterationType codes
+    # The LAST iteration's primal residual VECTOR r = Ax + By - c and
+    # (restart-held) dual residual VECTOR s = rho A'(By - By_ref) — the
+    # reference callback's ``r``/``s`` (``ADMM.h:71-76``); at
+    # chunk_iterations=1 the host driver's observer sees them per iteration.
+    r: Optional[Any] = None
+    s: Optional[Any] = None
     # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
     # filled by the host-chunked driver (core/driver.py).
     times: Optional[jnp.ndarray] = None
@@ -141,6 +148,8 @@ class _State(NamedTuple):
     m_prev: jnp.ndarray
     dual_residual: jnp.ndarray
     iteration_type: jnp.ndarray
+    r_vec: Any           # last primal residual vector
+    s_vec: Any           # last (restart-held) dual residual vector
     status: jnp.ndarray
     primal_residuals: jnp.ndarray
     dual_residuals: jnp.ndarray
@@ -158,16 +167,27 @@ def solve(
     params: ADMMParams = ADMMParams(),
     data: Any = None,
     warm_start: Optional[tuple] = None,
+    user_function: Optional[Callable[..., jnp.ndarray]] = None,
 ) -> ADMMResult:
     """``warm_start`` is a ``result.warm_start`` tuple from a previous solve:
     resumes the loop state (dual variable, penalty, acceleration history)
-    exactly (the seam used by the host-chunked driver, core/driver.py)."""
+    exactly (the seam used by the host-chunked driver, core/driver.py).
+
+    ``user_function(k, x, y, lam, rho, r, s) -> bool`` is an optional pure
+    stopping predicate evaluated once per iteration with the arguments of the
+    reference's ``ADMMUserFunction`` (``ADMM.h:71-76``: iteration, the
+    iterates/dual/penalty at the END of the iteration, and the primal/dual
+    residual VECTORS ``r``/``s``) — but *terminating*, like the other
+    engines' user functions (the reference's is a void observer; elapsed
+    time ``t`` cannot exist inside a compiled loop — the host driver's
+    observer at ``chunk_iterations=1`` supplies it).  A True return stops
+    the solve with status USER_FUNCTION after the iteration's updates."""
     params.validate()
-    return _solve(problem, params, c, x0, y0, data, warm_start)
+    return _solve(problem, params, user_function, c, x0, y0, data, warm_start)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _solve(problem: ADMMProblem, params: ADMMParams,
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _solve(problem: ADMMProblem, params: ADMMParams, user_function,
            c: Any, x0: Any, y0: Any, data: Any,
            warm_start) -> ADMMResult:
     accelerated = params.mode == ADMMMode.ACCELERATED
@@ -199,7 +219,7 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
     else:
         lam0, rho0, carry0 = warm_start
 
-    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    nan_trace = jnp.full((n_trace,), pad_value(), dtype)
     iterates0 = (jax.tree_util.tree_map(
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype),
         x0) if params.log_iterates else None)
@@ -207,6 +227,8 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         k=jnp.zeros((), jnp.int32),
         x=x0, y=y0, lam=lam0, rho=rho0,
         **carry0,
+        r_vec=jax.tree_util.tree_map(jnp.zeros_like, c),
+        s_vec=jax.tree_util.tree_map(jnp.zeros_like, x0),
         status=jnp.asarray(ADMMStatus.RUNNING.value, jnp.int32),
         primal_residuals=nan_trace,
         dual_residuals=nan_trace,
@@ -266,8 +288,11 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         s = jax.tree_util.tree_map(
             lambda l: st.rho * l, At(tree_sub(By, dual_ref)))
         dual_now = jnp.sqrt(problem.ipx(s, s))
-        dual = jnp.where(itype == ADMMIterationType.RESTART.value,
-                         st.dual_residual, dual_now)
+        is_restart = itype == ADMMIterationType.RESTART.value
+        dual = jnp.where(is_restart, st.dual_residual, dual_now)
+        # the dual residual VECTOR, held over restarts exactly like its norm
+        # (exposed through the result / user callback, reference ADMM.h:71-76)
+        s_held = tree_where(is_restart, st.s_vec, s)
 
         # --- record traces (iterate history per reference ADMM.h:514-515) ---
         traces = dict(
@@ -315,13 +340,24 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         m_prev = (jnp.where(itype == ADMMIterationType.RESTART.value, big, m_k)
                   if accelerated else m_k)
 
+        # Terminating user predicate with the reference callback's
+        # end-of-iteration state (``ADMM.h:71-76``; see solve()) — evaluated
+        # after the penalty adaptation so ``rho`` is the end-of-iteration
+        # value, with the residual VECTORS r / (restart-held) s.
+        if user_function is not None:
+            user_stop = jnp.asarray(user_function(
+                st.k, x, y, lam, rho, r, s_held))
+            status = jnp.where(user_stop, ADMMStatus.USER_FUNCTION.value,
+                               status).astype(jnp.int32)
+
         return _State(
             k=st.k + 1,
             x=x, y=y, lam=lam, rho=rho,
             y_prev=y, By_prev=By,
             y_hat=y_hat, lam_hat=lam_hat, lam_prev=lam,
             alpha=alpha_next, m_prev=m_prev,
-            dual_residual=dual, iteration_type=itype, status=status,
+            dual_residual=dual, iteration_type=itype,
+            r_vec=r, s_vec=s_held, status=status,
             **traces,
         )
 
@@ -349,7 +385,8 @@ def _solve(problem: ADMMProblem, params: ADMMParams,
         m_k=st.m_trace,
         penalty_parameters=st.penalty_parameters,
         iteration_types=st.iteration_types,
-        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        r=st.r_vec, s=st.s_vec,
+        times=jnp.full((n_trace,), pad_value(), jnp.float32),
         iterates=st.iterates,
         warm_start=(st.lam, st.rho, carry_out),
     )

@@ -29,6 +29,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.debug import pad_value
 from ..core.problem import RiemannianProblem
 from ..core.tree import tree_scale, tree_where
 from ..core.types import GradientDescentStatus, SmoothOptimizerParams
@@ -128,7 +129,7 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
     gn0 = jnp.sqrt(M.inner(x0, g0, g0))
     sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
-    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    nan_trace = jnp.full((n_trace,), pad_value(), dtype)
     iterates0 = (jax.tree_util.tree_map(
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
         if params.log_iterates else None)
@@ -141,7 +142,7 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         gradient_norms=nan_trace,
         # max(1, .) so zero-iteration solves still trace (the loop body
         # indexes these even though it never executes)
-        update_step_norms=jnp.full((max(params.max_iterations, 1),), jnp.nan,
+        update_step_norms=jnp.full((max(params.max_iterations, 1),), pad_value(),
                                    dtype),
         linesearch_iterations=jnp.zeros((max(params.max_iterations, 1),),
                                         jnp.int32),
@@ -226,7 +227,7 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
             x=x_new, f=f_new, grad=g_new, gradnorm=gn_new,
             status=status,
             update_step_norms=st.update_step_norms.at[st.k].set(
-                jnp.where(accept, h_norm, jnp.nan)),
+                jnp.where(accept, h_norm, pad_value())),
             linesearch_iterations=st.linesearch_iterations.at[st.k].set(ls_iters),
         )
 
@@ -263,6 +264,6 @@ def _solve(problem: RiemannianProblem, params: GradientDescentParams,
         gradient_norms=st.gradient_norms,
         update_step_norms=st.update_step_norms,
         linesearch_iterations=st.linesearch_iterations,
-        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        times=jnp.full((n_trace,), pad_value(), jnp.float32),
         iterates=st.iterates,
     )

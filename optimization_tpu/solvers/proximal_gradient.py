@@ -33,6 +33,7 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.debug import pad_value
 from ..core.problem import CompositeProblem
 from ..core.tree import tree_axpy, tree_dot, tree_sub, tree_where
 from ..core.types import OptimizerParams, ProximalGradientStatus
@@ -75,6 +76,14 @@ class ProximalGradientResult(NamedTuple):
     objective_values: jnp.ndarray
     composite_gradient_norms: jnp.ndarray
     relative_composite_gradient_norms: jnp.ndarray
+    # Backtracking line-search iterations per outer iteration (zero when
+    # ``linesearch=False``) — the reference callback's ``linesearch_iters``
+    # (``ProximalGradient.h:45-49``); entries [0, num_iterations) valid.
+    linesearch_iterations: Optional[jnp.ndarray] = None
+    # The LAST iteration's composite update step dx = x_k - x_{k-1} (the
+    # reference callback's ``dx``); at chunk_iterations=1 the host driver's
+    # observer sees it per iteration.
+    dx: Optional[Any] = None
     # Wall-clock seconds per recorded iteration; NaN from the jitted solve,
     # filled by the host-chunked driver (core/driver.py).
     times: Optional[jnp.ndarray] = None
@@ -97,6 +106,8 @@ class _State(NamedTuple):
     objective_values: jnp.ndarray
     composite_gradient_norms: jnp.ndarray
     relative_composite_gradient_norms: jnp.ndarray
+    linesearch_iterations: jnp.ndarray
+    dx: Any              # last composite update step x_k - x_{k-1}
     iterates: Optional[Any]
 
 
@@ -106,23 +117,37 @@ def solve(
     params: ProximalGradientParams = ProximalGradientParams(),
     data: Any = None,
     warm_start: Optional[tuple] = None,
+    user_function: Optional[Any] = None,
 ) -> ProximalGradientResult:
     """``warm_start`` is a ``result.warm_start`` tuple from a previous solve:
     resumes the FISTA momentum sequence and stepsize exactly (the seam used by
-    the host-chunked driver, core/driver.py)."""
+    the host-chunked driver, core/driver.py).
+
+    ``user_function(k, x, F, G_lambda, linesearch_iters, dx, dF) -> bool`` is
+    an optional pure stopping predicate evaluated once per iteration with the
+    arguments of the reference's ``ProximalGradientUserFunction``
+    (``ProximalGradient.h:45-49``: iteration, iterate at the start of the
+    iteration, its objective value, composite gradient norm, line-search
+    iterations, composite update step, objective decrease) — but
+    *terminating*, like the other engines' user functions (the reference's is
+    a void observer; elapsed time ``t`` cannot exist inside a compiled loop —
+    the host driver's observer at ``chunk_iterations=1`` supplies it).  A
+    True return stops the solve with status USER_FUNCTION before the update
+    is applied."""
     params.validate()
-    return _solve(problem, params, x0, data, warm_start)
+    return _solve(problem, params, user_function, x0, data, warm_start)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(0, 1, 2))
 def _solve(problem: CompositeProblem, params: ProximalGradientParams,
-           x0: Any, data: Any, warm_start) -> ProximalGradientResult:
+           user_function, x0: Any, data: Any,
+           warm_start) -> ProximalGradientResult:
     n_trace = max(params.max_iterations, 1)  # 0-iteration solves must trace
     accelerated = params.mode == ProximalGradientMode.ACCELERATED
 
     F0 = jnp.asarray(problem.value(x0, data))
     dtype = F0.dtype
-    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
+    nan_trace = jnp.full((n_trace,), pad_value(), dtype)
     iterates0 = (jax.tree_util.tree_map(
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
         if params.log_iterates else None)
@@ -144,6 +169,8 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
         objective_values=nan_trace,
         composite_gradient_norms=nan_trace,
         relative_composite_gradient_norms=nan_trace,
+        linesearch_iterations=jnp.zeros((n_trace,), jnp.int32),
+        dx=jax.tree_util.tree_map(jnp.zeros_like, x0),
         iterates=iterates0,
     )
 
@@ -189,6 +216,7 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
                 (lam, jnp.zeros((), jnp.int32), x, hat_y, F_x))
             ls_failed = ls_iters > params.max_LS_iterations
         else:
+            ls_iters = jnp.zeros((), jnp.int32)
             ls_failed = jnp.asarray(False)
 
         # --- iteration analysis (reference ProximalGradient.h:304-329) ---
@@ -216,19 +244,36 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
             relative_composite_gradient_norms=(
                 st.relative_composite_gradient_norms.at[st.k].set(
                     relative_norm)),
+            linesearch_iterations=(
+                st.linesearch_iterations.at[st.k].set(ls_iters)),
             iterates=it,
         )
+
+        # Terminating user predicate with the reference callback's state
+        # (``ProximalGradient.h:45-49``; see solve()): iterate/objective at
+        # the START of the iteration, this iteration's composite gradient
+        # norm, line-search count, update step, and objective decrease.
+        if user_function is not None:
+            user_stop = jnp.asarray(user_function(
+                st.k, st.x_prev, st.F_prev, composite_gradient_norm,
+                ls_iters, dx, st.F_prev - F_x))
+        else:
+            user_stop = jnp.asarray(False)
 
         converged = ((composite_gradient_norm
                       < params.composite_gradient_tolerance)
                      | (relative_norm
                         < params.relative_composite_gradient_tolerance))
         status = jnp.where(
-            ls_failed,
-            ProximalGradientStatus.LINESEARCH.value,
-            jnp.where(converged,
-                      ProximalGradientStatus.PROX_GRAD_RESIDUAL.value,
-                      ProximalGradientStatus.RUNNING.value)).astype(jnp.int32)
+            user_stop,
+            ProximalGradientStatus.USER_FUNCTION.value,
+            jnp.where(
+                ls_failed,
+                ProximalGradientStatus.LINESEARCH.value,
+                jnp.where(
+                    converged,
+                    ProximalGradientStatus.PROX_GRAD_RESIDUAL.value,
+                    ProximalGradientStatus.RUNNING.value))).astype(jnp.int32)
 
         # --- momentum update (reference ProximalGradient.h:376-403) ---
         if accelerated:
@@ -243,8 +288,8 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
             y_new = x
             t_new = st.t_prev
 
-        # On a line-search failure the iterate is not advanced
-        keep = ~ls_failed
+        # On a line-search failure or a user stop the iterate is not advanced
+        keep = ~ls_failed & ~user_stop
         return _State(
             k=st.k + 1,
             x=tree_where(keep, x, st.x),
@@ -255,6 +300,7 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
             lam=lam,
             t_prev=jnp.where(keep, t_new, st.t_prev),
             status=status,
+            dx=tree_where(keep, dx, st.dx),
             **traces,
         )
 
@@ -273,7 +319,9 @@ def _solve(problem: CompositeProblem, params: ProximalGradientParams,
         composite_gradient_norms=st.composite_gradient_norms,
         relative_composite_gradient_norms=(
             st.relative_composite_gradient_norms),
-        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        linesearch_iterations=st.linesearch_iterations,
+        dx=st.dx,
+        times=jnp.full((n_trace,), pad_value(), jnp.float32),
         warm_start=(st.x_prev, st.y, st.t_prev, st.lam),
         iterates=st.iterates,
     )

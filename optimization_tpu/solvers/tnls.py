@@ -31,6 +31,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.debug import pad_value
 from ..core.problem import LeastSquaresProblem
 from ..core.tree import tree_neg, tree_where
 from ..core.types import SmoothOptimizerParams, TNLSStatus
@@ -163,8 +164,8 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
     gln0 = gradL_norm_at(x0, Fx0, Fn0)
     sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
-    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
-    nan_step = jnp.full((n_step,), jnp.nan, dtype)
+    nan_trace = jnp.full((n_trace,), pad_value(), dtype)
+    nan_step = jnp.full((n_step,), pad_value(), dtype)
     iterates0 = (jax.tree_util.tree_map(
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
         if params.log_iterates else None)
@@ -323,6 +324,6 @@ def _solve(problem: LeastSquaresProblem, params: TNLSParams,
         inner_iterations=st.inner_iterations,
         update_step_norms=st.update_step_norms,
         rho=st.rho,
-        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        times=jnp.full((n_trace,), pad_value(), jnp.float32),
         iterates=st.iterates,
     )

@@ -37,6 +37,7 @@ from typing import Any, Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from ..core.debug import pad_value
 from ..core.problem import RiemannianProblem
 from ..core.tree import tree_where
 from ..core.types import SmoothOptimizerParams, TNTStatus
@@ -270,8 +271,8 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
     dtype = f0.dtype
     sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
-    nan_trace = jnp.full((n_trace,), jnp.nan, dtype)
-    nan_step = jnp.full((n_step,), jnp.nan, dtype)
+    nan_trace = jnp.full((n_trace,), pad_value(), dtype)
+    nan_step = jnp.full((n_step,), pad_value(), dtype)
     iterates0 = (jax.tree_util.tree_map(
         lambda l: jnp.zeros((n_trace,) + jnp.shape(l), jnp.asarray(l).dtype), x0)
         if params.log_iterates else None)
@@ -521,7 +522,7 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         update_step_norms=st.update_step_norms,
         update_step_M_norms=st.update_step_M_norms,
         gain_ratios=st.gain_ratios,
-        times=jnp.full((n_trace,), jnp.nan, jnp.float32),
+        times=jnp.full((n_trace,), pad_value(), jnp.float32),
         iterates=st.iterates,
     )
 

@@ -30,12 +30,16 @@ jax.config.update("jax_enable_x64", True)
 #     OPTTPU_DEBUG_NANS=1 python -m pytest tests/ -q -m "not slow"
 # jax_debug_nans re-runs any jit whose OUTPUT contains NaN in op-by-op
 # mode and raises at the producing op — catching unintended NaNs in the
-# whole linalg/manifold/parallel compute path.  Tests whose outputs
-# legitimately carry NaN (NaN-padded trace arrays are part of the solver
-# result contract; some fixtures inject NaN rho on purpose) are marked
-# ``nan_traces`` and skipped under this mode.  Determinism of the sharded
-# collectives is asserted unconditionally in test_parallel.py
-# (bitwise-identical repeat of a sharded solve).
+# whole compute path INCLUDING the end-to-end solver paths: under this
+# mode the solvers zero-fill their contractually-unread trace padding
+# instead of NaN-padding it (optimization_tpu/core/debug.py — the env var
+# is read by the package at import, before this config runs), so
+# whole-result solver tests run under the net; the tier passing is the
+# assertion that nothing reads the padding expecting NaN.  Only tests
+# that deliberately inject or assert NaN (NaN-rho fixtures, breakdown
+# eigh fixtures) carry the ``nan_traces`` marker and skip.  Determinism
+# of the sharded collectives is asserted unconditionally in
+# test_parallel.py (bitwise-identical repeat of a sharded solve).
 DEBUG_NANS = bool(os.environ.get("OPTTPU_DEBUG_NANS"))
 if DEBUG_NANS:
     jax.config.update("jax_debug_nans", True)

@@ -11,7 +11,6 @@ from optimization_tpu.io import g2o
 
 # the CLI drives full solver pipelines whose results carry NaN-padded
 # traces by contract -> excluded from the OPTTPU_DEBUG_NANS tier
-pytestmark = pytest.mark.nan_traces
 
 from test_pose_sync import _make_pose_graph
 

@@ -39,7 +39,6 @@ fista_problem = CompositeProblem(
 )
 
 
-@pytest.mark.nan_traces
 def test_fista_group_lasso():
     params = pg.ProximalGradientParams(
         max_iterations=100000, composite_gradient_tolerance=1e-4)
@@ -50,7 +49,6 @@ def test_fista_group_lasso():
         float(res.relative_composite_gradient_norms[k]) < 1e-3
 
 
-@pytest.mark.nan_traces
 def test_ista_matches_fista():
     # Milder conditioning than the headline example so plain ISTA can reach
     # the tolerance in a bounded iteration budget.
@@ -126,7 +124,6 @@ def _fista_reference_solution(A, b, mu):
     return pg.solve(problem, jnp.zeros(A.shape[1]), params).x
 
 
-@pytest.mark.nan_traces
 def test_admm_lasso():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)
@@ -145,7 +142,6 @@ def test_admm_lasso():
     assert obj(res.y) <= obj(x_ref) * 1.01 + 1e-6
 
 
-@pytest.mark.nan_traces
 def test_admm_accelerated():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)
@@ -164,7 +160,6 @@ def test_admm_accelerated():
     assert set(np.asarray(res.iteration_types[:k])) <= {0, 1, 2}
 
 
-@pytest.mark.nan_traces
 def test_admm_residual_balancing():
     A, b, Atb, mu = _lasso_setup()
     problem = _lasso_admm_problem(A, Atb, mu)
@@ -176,6 +171,177 @@ def test_admm_residual_balancing():
         penalty_adaptation_period=2, penalty_adaptation_window=100)
     res = admm.solve(problem, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n), params)
     assert int(res.status) == ADMMStatus.RESIDUAL_TOLERANCE
+
+
+# ----------------------------------------------- user callbacks (round 5) --
+
+def test_pg_user_function_stops_and_matches_reference_state():
+    """Terminating user_function on proximal gradient (the jittable analog
+    of ``ProximalGradientUserFunction``, ``ProximalGradient.h:45-49``): a
+    stop at k == K leaves the iterate where a K-iteration solve leaves it
+    (the stop fires before the update is applied), sets USER_FUNCTION, and
+    the callback's (F, G_lambda, linesearch_iters, dx, dF) state matches
+    the result traces."""
+    params = pg.ProximalGradientParams(
+        max_iterations=50, composite_gradient_tolerance=1e-12,
+        relative_composite_gradient_tolerance=1e-14)
+    x0 = jnp.array([4.0, 4.0])
+    K = 5
+
+    seen = {}
+
+    def user_fn(k, x, F, G, ls_iters, dx, dF):
+        # jittable observation through host-side dict is NOT allowed inside
+        # jit; this predicate only uses traced values.  The state parity is
+        # asserted via the traces below.
+        return k == K
+
+    res = pg.solve(fista_problem, x0, params, user_function=user_fn)
+    assert int(res.status) == ProximalGradientStatus.USER_FUNCTION
+    assert int(res.num_iterations) == K + 1
+
+    # the K-th iteration's update was NOT applied: x equals a K-iteration run
+    params_K = dataclasses.replace(params, max_iterations=K)
+    res_K = pg.solve(fista_problem, x0, params_K)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(res_K.x))
+
+    # linesearch trace: recorded per iteration, finite int counts
+    ls = np.asarray(res.linesearch_iterations[:K + 1])
+    assert (ls >= 0).all()
+    # dx: the last APPLIED update step (iteration K was not applied, so the
+    # result's dx is iteration K-1's step x_{K-1} - x_{K-2}).  The iterate
+    # trace records x BEFORE iteration k (it[k] = x_{k-1}), so x_{K-2} is
+    # it[K-1] and x_{K-1} is the K-iteration run's final x.
+    params_log = dataclasses.replace(params, max_iterations=K,
+                                     log_iterates=True)
+    res_log = pg.solve(fista_problem, x0, params_log)
+    it = np.asarray(res_log.iterates)
+    np.testing.assert_allclose(np.asarray(res.dx),
+                               np.asarray(res_K.x) - it[K - 1],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_pg_linesearch_iterations_traced():
+    """With an optimistic Lipschitz estimate the backtracking line search
+    must record nonzero counts (the reference callback's
+    ``linesearch_iters``)."""
+    params = pg.ProximalGradientParams(
+        max_iterations=30, L=1e-4, composite_gradient_tolerance=1e-12,
+        relative_composite_gradient_tolerance=1e-14)
+    res = pg.solve(fista_problem, jnp.array([4.0, 4.0]), params)
+    k = int(res.num_iterations)
+    ls = np.asarray(res.linesearch_iterations[:k])
+    assert ls.max() > 0
+    # without linesearch the counts are identically zero
+    params_nols = dataclasses.replace(params, L=4e6, linesearch=False)
+    res2 = pg.solve(fista_problem, jnp.array([4.0, 4.0]), params_nols)
+    assert np.all(np.asarray(
+        res2.linesearch_iterations[:int(res2.num_iterations)]) == 0)
+
+
+def test_pg_observer_chunk1_sees_reference_callback_state():
+    """Driver observer at chunk_iterations=1 recovers the reference
+    per-iteration callback state: dx per iteration equals the difference of
+    consecutive logged iterates, linesearch counts match the monolithic
+    trace."""
+    from optimization_tpu.core import driver
+
+    params = pg.ProximalGradientParams(
+        max_iterations=8, composite_gradient_tolerance=1e-12,
+        relative_composite_gradient_tolerance=1e-14)
+    x0 = jnp.array([4.0, 4.0])
+
+    seen = []
+
+    def obs(total, r, t):
+        seen.append((total, np.asarray(r.dx),
+                     int(r.linesearch_iterations[0]),
+                     float(r.composite_gradient_norms[0]), t))
+
+    res = driver.drive(pg, fista_problem, x0, params, chunk_iterations=1,
+                       observer=obs)
+    assert len(seen) == 8
+
+    mono = pg.solve(fista_problem, x0, dataclasses.replace(
+        params, log_iterates=True))
+    # the iterate trace records x BEFORE iteration k (it[k] = x_{k-1},
+    # it[0] = x0); iteration k's dx is x_k - x_{k-1}
+    it = np.asarray(mono.iterates)
+    xs_after = np.concatenate([it[1:8], np.asarray(mono.x)[None]])
+    for k, (total, dx, ls, g, t) in enumerate(seen):
+        assert total == k + 1
+        np.testing.assert_allclose(dx, xs_after[k] - it[k],
+                                   rtol=1e-10, atol=1e-12)
+        assert ls == int(mono.linesearch_iterations[k])
+        np.testing.assert_allclose(
+            g, float(mono.composite_gradient_norms[k]), rtol=1e-10)
+        assert t >= 0.0  # the host supplies the reference callback's t
+
+
+def test_admm_user_function_stops_and_exposes_residual_vectors():
+    """Terminating user_function on ADMM (the jittable analog of
+    ``ADMMUserFunction``, ``ADMM.h:71-76``): end-of-iteration state, the
+    residual VECTORS r/s consistent with the recorded norms, USER_FUNCTION
+    status, and chunk=1 observer parity for r/s."""
+    A, b, Atb, mu = _lasso_setup(m=60, n=40)
+    problem = _lasso_admm_problem(A, Atb, mu)
+    n = A.shape[1]
+    K = 4
+
+    def user_fn(k, x, y, lam, rho, r, s):
+        return k == K
+
+    params = dataclasses.replace(ADMM_PARAMS, eps_rel=1e-12,
+                                 eps_abs_pri=1e-12, eps_abs_dual=1e-12)
+    res = admm.solve(problem, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                     params, user_function=user_fn)
+    assert int(res.status) == ADMMStatus.USER_FUNCTION
+    assert int(res.num_iterations) == K + 1
+
+    # the exposed vectors' norms equal the recorded residual norms
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(res.r)), float(res.primal_residuals[K]),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(res.s)), float(res.dual_residuals[K]),
+        rtol=1e-12)
+
+    # chunk=1 observer sees r/s per iteration, matching the monolithic traces
+    from optimization_tpu.core import driver
+
+    seen = []
+    params8 = dataclasses.replace(params, max_iterations=6)
+    driver.drive_admm(problem, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                      params8, chunk_iterations=1,
+                      observer=lambda total, r, t: seen.append(
+                          (total, float(jnp.linalg.norm(r.r)),
+                           float(jnp.linalg.norm(r.s)))))
+    mono = admm.solve(problem, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                      params8)
+    assert len(seen) == 6
+    for k, (total, rn, sn) in enumerate(seen):
+        assert total == k + 1
+        np.testing.assert_allclose(rn, float(mono.primal_residuals[k]),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(sn, float(mono.dual_residuals[k]),
+                                   rtol=1e-10)
+
+
+def test_admm_accelerated_user_function_s_held_over_restart():
+    """In accelerated mode the exposed dual-residual vector is held over
+    restart iterations exactly like its recorded norm (``ADMM.h:461-468``)."""
+    A, b, Atb, mu = _lasso_setup(m=60, n=40)
+    problem = _lasso_admm_problem(A, Atb, mu)
+    n = A.shape[1]
+    params = dataclasses.replace(
+        ADMM_PARAMS, mode=admm.ADMMMode.ACCELERATED, max_iterations=40,
+        eps_rel=1e-12, eps_abs_pri=1e-12, eps_abs_dual=1e-12)
+    res = admm.solve(problem, jnp.zeros(n), jnp.zeros(n), jnp.zeros(n),
+                     params)
+    k = int(res.num_iterations)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(res.s)), float(res.dual_residuals[k - 1]),
+        rtol=1e-12)
 
 
 # -------------------------------------------------------------- prox ops ---

@@ -18,7 +18,6 @@ from optimization_tpu.manifolds import sphere
 from optimization_tpu.solvers import (admm, gradient_descent, prox,
                                       proximal_gradient, tnls, tnt)
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 
 def rosenbrock(x, data):

@@ -12,7 +12,6 @@ from optimization_tpu.core.types import (GradientDescentStatus, TNLSStatus,
 from optimization_tpu.solvers import gradient_descent, tnls, tnt
 import pytest
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 
 def rosenbrock(x, data):

@@ -149,7 +149,6 @@ class TestParityWithGeneric:
             atol=0.05 * float(jnp.linalg.norm(ref.s)))
 
 
-@pytest.mark.nan_traces
 def test_tnt_flat_qm_matches_generic():
     """TNT with problem.flat_qm runs the flat engine and converges to the
     same optimum as the generic path on the benchmark problem family."""
@@ -219,7 +218,6 @@ def test_predicted_decrease_matches_explicit_dm():
                                rtol=1e-7)
 
 
-@pytest.mark.nan_traces
 def test_step_eval_matches_separate_evaluation():
     """The fused sphere Rayleigh step evaluator (problem.step_eval) is
     algebraically identical to retract -> f -> rgrad, and TNT with it
@@ -297,7 +295,6 @@ def test_step_eval_matches_separate_evaluation():
     assert float(r1.gradfx_norm) < 1e-6
 
 
-@pytest.mark.nan_traces
 class TestInitThreading:
     """stpcg_flat(init=flat_init_dots(...)) must be numerically invisible:
     the same helper computes the same dots the engine would, so supplying
@@ -635,7 +632,6 @@ class TestPreconditionedFlat:
         with pytest.raises(ValueError):
             stpcg_flat(g, A0, U, B, 1.0, prec=prec, init=init)
 
-    @pytest.mark.nan_traces
     def test_tnt_flat_prec_matches_generic_precon(self):
         """TNT routes problem.flat_prec through the flat engine and matches
         the generic preconditioned path's trajectory."""

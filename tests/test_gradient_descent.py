@@ -17,7 +17,6 @@ from optimization_tpu.core.types import GradientDescentStatus
 from optimization_tpu.manifolds import euclidean, sphere
 from optimization_tpu.solvers import gradient_descent as gd
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 TOL = 1e-4
 

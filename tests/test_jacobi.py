@@ -150,7 +150,6 @@ def test_rayleigh_ritz_with_jacobi_matches_default():
     np.testing.assert_allclose(G, np.eye(24), atol=1e-10)
 
 
-@pytest.mark.nan_traces
 def test_lobpcg_with_jacobi_eigh():
     d = jnp.linspace(1.0, 500.0, 1500)
     res = lobpcg(lambda S: d[:, None] * S, T=lambda S: S / d[:, None],

@@ -18,7 +18,6 @@ from optimization_tpu.linalg.lobpcg import lobpcg, lobpcg_fleet, rayleigh_ritz
 
 import pytest
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 N = 1000
 NX = 10
@@ -354,6 +353,7 @@ class TestCholRR:
                              d0[:5], np.float64)
             assert np.max(rel) < 1e-3
 
+    @pytest.mark.nan_traces  # deliberately NaN-injecting eigh fixture
     def test_rr_breakdown_freezes_not_poisons(self):
         """Deterministic pin of the breakdown-freeze contract: an eigh that
         NaNs on the (3nx)^2 iteration pencils (but not the nx^2 init
@@ -375,6 +375,7 @@ class TestCholRR:
         assert np.all(np.isfinite(np.asarray(res.theta)))
         assert np.all(np.isfinite(np.asarray(res.X)))
 
+    @pytest.mark.nan_traces  # deliberately NaN-injecting eigh fixture
     def test_warm_start_preserves_breakdown_freeze(self):
         """Resuming a breakdown-frozen run must stay frozen (the done bit
         reconstructs from ok on resume): chunked == monolithic even after

@@ -74,7 +74,6 @@ def test_retraction_first_order():
             assert err < 10 * t ** 2 * float(jnp.linalg.norm(v.reshape(-1))) ** 2
 
 
-@pytest.mark.nan_traces
 def test_product_manifold_tnt():
     """TNT over sphere x euclidean: min |x - P|^2 + |b - c|^2 with x on S^2.
 
@@ -138,7 +137,6 @@ class TestBf16Tier:
         np.testing.assert_allclose(np.asarray(v2, np.float64),
                                    np.asarray(v, np.float64), atol=0.05)
 
-    @pytest.mark.nan_traces
     def test_tnt_grassmann_bf16_storage(self):
         """End-to-end: the Brockett eigenspace solve with bf16 iterate
         storage converges to the bf16-resolvable floor with an (almost)

@@ -13,7 +13,6 @@ import jax.numpy as jnp
 from optimization_tpu.io.g2o import PoseGraph
 from optimization_tpu.models import pose_sync, rotation_sync as rs
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 N, D = 20, 3
 

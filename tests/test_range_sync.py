@@ -19,7 +19,6 @@ from optimization_tpu.core.types import TNTStatus
 
 # solver results carry NaN-padded traces by contract -> skipped under the
 # OPTTPU_DEBUG_NANS sanitizer tier (same as every solver-result test)
-pytestmark = pytest.mark.nan_traces
 
 
 def _solve(key, n, **kw):

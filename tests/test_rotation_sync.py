@@ -15,7 +15,6 @@ from optimization_tpu.core.types import TNTStatus
 from optimization_tpu.models import rotation_sync as rs
 from optimization_tpu.solvers import tnt
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 N, D = 24, 3
 

@@ -183,7 +183,6 @@ def test_shape_validation():
                             weights=weights, chunk_rows=CR, interpret=True)
 
 
-@pytest.mark.nan_traces
 def test_tnt_flat_solve_streamed_matches_flat_qm():
     """TNT with problem.flat_solve (the streamed kernel in interpret mode)
     reaches the same optimum as the flat_qm path on the small Rayleigh

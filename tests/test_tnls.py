@@ -18,7 +18,6 @@ from optimization_tpu.core.types import TNLSStatus
 from optimization_tpu.solvers import tnls
 import pytest
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 EPS = 1e-6
 M_PTS = 100

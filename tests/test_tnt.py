@@ -19,7 +19,6 @@ from optimization_tpu.manifolds import euclidean, sphere
 from optimization_tpu.solvers import tnt
 import pytest
 
-pytestmark = pytest.mark.nan_traces  # solver results carry NaN-padded traces by contract
 
 EPS = 1e-8
 
@@ -272,6 +271,7 @@ def test_bf16_storage_f32_accumulate():
     assert abs(nrm - 1.0) < 0.01
 
 
+@pytest.mark.nan_traces  # feeds NaN rho fixtures to step_decision
 def test_step_decision_rejects_nonpositive_model_decrease():
     """A non-positive model decrease must be treated like a NaN gain ratio
     (reject + shrink), even when rho itself is large and positive.
