@@ -28,6 +28,7 @@ CONFIGS = [
     "config10_lobpcg_fleet",
     "config11_hv_roofline",
     "config12_escalation",
+    "config13_streamed_prec",
 ]
 
 QUICK = ["config1_gd_rosenbrock", "config2_tnt_rayleigh",

@@ -94,7 +94,7 @@ def _matk(M: Sequence[Sequence], v: Sequence):
 
 def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
                kappa_fgr, theta, epsilon, n_aux, pair, sdt, pin_x,
-               with_init=False):
+               with_init=False, prec_chunk=None):
     """Build the kernel body (all structure static).
 
     ``sdt``: the STORAGE dtype of g/x/s/r/p (f32 or bf16); all compute and
@@ -105,12 +105,37 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
     init dot group (rv0, ar0, nr0, m0, mA0, UU) arrives as SMEM scalars
     after the aux block — the init pass is SKIPPED entirely (no g read,
     no r write, no reduction) and the loop's first iteration reads its r
-    chunks straight from the g buffer (conditional DMA source)."""
+    chunks straight from the g buffer (conditional DMA source).
+
+    ``prec_chunk``: optional chunk generator of the DIAGONAL of
+    P = M^{-1/2} (the elementwise preconditioner of the reference's
+    hot-loop-native preconditioned STPCG,
+    ``IterativeSolvers.h:236-252,388-404``).  The kernel then runs the
+    symmetric change of variables s = P shat entirely in registers —
+    ghat = P g (folded into the init pass's one g read), A0hat = P^2 A0,
+    Uhat_j = P u_j (the chunk generators compose; ``linalg/flat_cg
+    ._fold_prec`` is the whole-array analog) — at ZERO extra streams per
+    iteration: the operator family diag + (w .* x) B (w .* x)' is closed
+    under elementwise folding.  The kernel's outputs are then the HATTED
+    s (the caller un-transforms once) with sk2 already the |s|_M trust-
+    region norm and the truncation running in |r|_{M^{-1}}."""
     nch = n_rows // cr
     assert nch >= 2, "need >= 2 chunks for the double-buffered pipeline"
 
-    def w_chunk(j, i0, aux):
-        return None if weights[j] is None else weights[j](i0, aux)
+    if prec_chunk is None:
+        def w_chunk(j, i0, aux):
+            return None if weights[j] is None else weights[j](i0, aux)
+    else:
+        base_a0 = a0_chunk
+
+        def a0_chunk(i0, aux):                       # noqa: F811
+            pr = prec_chunk(i0, aux)
+            return pr * pr * base_a0(i0, aux)
+
+        def w_chunk(j, i0, aux):
+            pr = prec_chunk(i0, aux)
+            w = weights[j]
+            return pr if w is None else pr * w(i0, aux)
 
     def kernel(scal_ref, b_ref, g_hbm, x_hbm,
                s_out, r_out, p_out, res_ref,
@@ -178,6 +203,10 @@ def _mk_kernel(n_rows, cr, k_lr, a0_chunk, weights, max_iterations,
             gc = gin[slot].astype(jnp.float32)
             xc = x_chunk(i, slot)
             i0 = i * cr
+            if prec_chunk is not None:
+                # fold ghat = P g into the one g read; r0 <- ghat below,
+                # so every later stream is already in hat coordinates
+                gc = prec_chunk(i0, aux) * gc
             a0 = a0_chunk(i0, aux)
             a0g = a0 * gc
             ws = [w_chunk(j, i0, aux) for j in range(k_lr)]
@@ -515,6 +544,8 @@ def stpcg_flat_streamed(
     body_kind: str = "pair",
     pin_x: Optional[bool] = None,
     init=None,
+    prec_chunk: Optional[Callable] = None,
+    prec: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     interpret: bool = False,
 ) -> FlatCGResult:
     """Solve the flat trust-region subproblem with the whole-loop streamed
@@ -540,6 +571,19 @@ def stpcg_flat_streamed(
     accumulated whole-array by the caller while the kernel's own init
     accumulates chunk-wise: the two differ at the f32 ulp level, so this
     is CONTRACT parity, not bitwise (same as the kernel-vs-XLA story).
+
+    ``prec_chunk`` / ``prec``: the elementwise M^{-1/2} preconditioner in
+    BOTH forms — ``prec_chunk(i0, aux) -> (cr, 128)`` generating P's
+    diagonal chunk-wise (folded into the kernel's registers at zero extra
+    streams per iteration, see ``_mk_kernel``) and ``prec(v)`` the
+    whole-array apply (one 2n-word un-transform pass ``s = P shat``
+    AFTER the loop).  The two MUST compute the same map.  Semantics match
+    ``linalg/flat_cg.stpcg_flat(prec=)`` — truncation in |r|_{M^{-1}},
+    trust region / reported step norm in |s|_M, kernel-of-H safeguard on
+    the TRANSFORMED operator (reference hot-loop preconditioning,
+    ``IterativeSolvers.h:236-252,388-404``) — and like the XLA engine it
+    is incompatible with ``init=`` (the threaded dot group is computed in
+    untransformed coordinates).
     """
     n = g.shape[0]
     sdt = g.dtype
@@ -560,6 +604,17 @@ def stpcg_flat_streamed(
 
     if body_kind not in ("single", "pair"):
         raise ValueError('body_kind must be "single" or "pair"')
+    if (prec_chunk is None) != (prec is None):
+        raise ValueError(
+            "preconditioning needs BOTH forms of the same elementwise "
+            "M^{-1/2}: prec_chunk (in-kernel folding) and prec (the "
+            "whole-array un-transform of s)")
+    if prec_chunk is not None and init is not None:
+        raise ValueError(
+            "init= (the precomputed pre-loop dot group) is computed in "
+            "untransformed coordinates and cannot be combined with "
+            "prec_chunk=; compute the group on the transformed data "
+            "instead (same contract as linalg/flat_cg.stpcg_flat)")
     # Pin x in VMEM when it fits the budget (zero per-iteration x
     # traffic); else stream it chunk-wise alongside r/p (+2 slot buffers).
     itemsize = jnp.dtype(sdt).itemsize
@@ -569,7 +624,8 @@ def stpcg_flat_streamed(
     kernel = _mk_kernel(n_rows, chunk_rows, k_lr, a0_chunk, weights,
                         max_iterations, float(kappa_fgr), float(theta),
                         float(epsilon), n_aux, body_kind == "pair",
-                        sdt, pin_x, with_init=init is not None)
+                        sdt, pin_x, with_init=init is not None,
+                        prec_chunk=prec_chunk)
 
     scal_list = ([jnp.asarray(Delta, jnp.float32)]
                  + [jnp.asarray(a, jnp.float32) for a in aux_scalars])
@@ -623,7 +679,13 @@ def stpcg_flat_streamed(
     mval = res[3, 0]
     Delta_f = jnp.asarray(Delta, jnp.float32)
     m_norm = jnp.where(boundary, Delta_f, jnp.sqrt(sk2))
-    return FlatCGResult(s=s2d.reshape(n), update_step_M_norm=m_norm,
+    s = s2d.reshape(n)
+    if prec is not None:
+        # un-transform the step (s = P shat), one elementwise pass; the
+        # M-norm and model decrease are already the reference's
+        # preconditioned quantities (see _fold_prec in linalg/flat_cg)
+        s = prec(s.astype(jnp.float32)).astype(sdt)
+    return FlatCGResult(s=s, update_step_M_norm=m_norm,
                         num_iterations=k_it, predicted_decrease=-mval)
 
 

@@ -325,9 +325,15 @@ def _solve(problem: RiemannianProblem, params: TNTParams,
         use_flat = problem.flat_qm is not None and (
             problem.precon is None or problem.flat_prec is not None)
         in_flat_branch = True
-        if problem.flat_solve is not None and problem.precon is None:
+        if problem.flat_solve is not None and (
+                problem.precon is None or problem.flat_prec is not None):
             # bring-your-own subproblem engine (e.g. the streamed
-            # whole-loop Pallas kernel, kernels/streamed_cg.py)
+            # whole-loop Pallas kernel, kernels/streamed_cg.py).  A
+            # preconditioned problem stays on this branch iff it supplies
+            # the elementwise flat_prec seam; the flat_solve closure is
+            # responsible for folding it (stpcg_flat_streamed's
+            # prec_chunk/prec — the same hot-loop-native preconditioning
+            # contract as the XLA flat engine below).
             cg = problem.flat_solve(grad, x, data, st.aux, st.Delta,
                                     params)
             flat_dm = cg.predicted_decrease
