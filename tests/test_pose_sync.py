@@ -225,6 +225,47 @@ class TestMarginalized:
         assert bool(res.certificate.certified)
         assert float(res.certificate.stationarity) < 1e-6
 
+    def test_loose_certificate_operator_decision_parity(self):
+        """The certificate-grade LOOSE-inner-CG Q operator (the f32
+        cg_rtol=1e-4 / 60-cap build solve_pose_graph certifies with —
+        VERDICT round 4, next 4) reproduces the tight operator's decision
+        and lam_min well inside the certificate slack eta on BOTH sides: a
+        certifying point (the solved optimum) and a non-certifying one (a
+        perturbed iterate).  f32 only — the slack eta = 1e3 eps(dtype) |L|
+        scales with the dtype, and in f64 it is too small for any loose
+        inner residual (solve_pose_graph gates the loose operator on
+        dtype accordingly)."""
+        g, _, _ = _make_pose_graph(9, noise_rot=0.02, noise_t=0.02)
+        src, dst = jnp.asarray(g.src), jnp.asarray(g.dst)
+        Mij = jnp.asarray(g.Rij, jnp.float32)
+        tij = jnp.asarray(g.tij, jnp.float32)
+        kappa = jnp.asarray(g.kappa, jnp.float32)
+        _, Q_tight, n = pose_sync.marginalized_problem(
+            src, dst, Mij, tij, kappa=kappa, n=g.n_vertices)
+        _, Q_loose, _ = pose_sync.marginalized_problem(
+            src, dst, Mij, tij, kappa=kappa, n=g.n_vertices,
+            cg_iterations=60, cg_rtol=1e-4)
+        rot_data = pose_sync._transposed_rotation_data(src, dst, Mij, kappa)
+
+        res = pose_sync.solve_pose_graph(g, dtype=jnp.float32,
+                                         marginalized=True)
+        X_opt = res.rotation_result.x
+        ct = rs.certify(X_opt, rot_data, operator=Q_tight)
+        cl = rs.certify(X_opt, rot_data, operator=Q_loose)
+        assert bool(ct.certified) and bool(cl.certified)
+        # the loose operator's lam_min perturbation must sit WELL inside
+        # the slack (0.5 eta), not just squeak under it
+        assert (abs(float(cl.lam_min) - float(ct.lam_min))
+                <= 0.5 * float(ct.eta))
+
+        # a genuinely perturbed point must FAIL under both operators
+        pert = 0.3 * jax.random.normal(jax.random.PRNGKey(3),
+                                       X_opt.shape, jnp.float32)
+        X_bad = rs._orthonormalize(X_opt + pert)
+        cb_t = rs.certify(X_bad, rot_data, operator=Q_tight)
+        cb_l = rs.certify(X_bad, rot_data, operator=Q_loose)
+        assert not bool(cb_t.certified) and not bool(cb_l.certified)
+
     def test_noisy_marginalized_beats_or_matches_two_stage(self):
         """The single-stage objective uses the translation measurements to
         inform rotations: its total SE(3) cost is <= the two-stage one."""
